@@ -1,0 +1,165 @@
+"""Vectorized multi-pattern datetime extraction (the parse stage core).
+
+Re-expresses the reference's per-line scan
+(src/readers/syslinereader.rs:1733-1990 ``find_datetime_in_line`` →
+src/data/datetime.rs:1892 ``bytes_to_regex_to_datetime`` →
+:1368 ``captures_to_buffer_bytes`` → :956 ``datetime_parse_from_str``)
+as one pure-pandas function applied to Arrow batches:
+
+ * prefix bounding  — only the first MAX_SCAN chars are inspected
+   (range_regex, ere_datetimes_impl.rs:2106-2119)
+ * cheap prefilter  — rows without two consecutive digits in the
+   prefix skip the whole bank (EZCHECKD2, syslinereader.rs:1618-1721)
+ * first-match-wins — patterns tried in bank order, matched rows are
+   masked out of later patterns (syslinereader.rs:1782-1830)
+ * canonicalize     — month-name map, day zero-pad, epoch split,
+   named-tz → offset, year fill (datetime.rs:1368-1890)
+
+The pure function ``parse_series`` is importable without Spark (unit
+tests); ``make_parse_udf`` wraps it as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..patterns import (
+    ANCHOR_YEAR_DEFAULT,
+    CONTINUATION_SINK,
+    MAX_SCAN,
+    MONTHS,
+    PATTERNS,
+    TZ_OFFSET_MIN,
+)
+
+RESULT_FIELDS = (
+    "ts_parsed timestamp, pattern_id int, sink string, "
+    "dt_beg int, dt_end int, uptime_us long"
+)
+
+
+def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
+    """'+0530' / '-0800' → signed minutes."""
+    sign = np.where(tz.str.slice(0, 1) == "-", -1, 1)
+    mins = (
+        tz.str.slice(1, 3).astype("int64") * 60
+        + tz.str.slice(3, 5).astype("int64")
+    )
+    return pd.Series(sign * mins, index=tz.index)
+
+
+def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
+    """Captured groups → (utc timestamps, uptime_us or None).
+
+    Vectorized equivalent of captures_to_buffer_bytes
+    (src/data/datetime.rs:1368-1890).
+    """
+    if p.kind == "uptime":
+        up = g["us_"].astype("int64") * 1_000_000 + g["f"].astype("int64")
+        return pd.Series(pd.NaT, index=g.index, dtype="datetime64[ns]"), up
+
+    if p.kind == "epoch":
+        sec = g["es"].astype("int64")
+        frac = g["f"]
+        scale = 10 ** (6 - frac.str.len().astype("int64"))
+        us = sec * 1_000_000 + frac.astype("int64") * scale
+        return pd.to_datetime(us, unit="us"), None
+
+    # ymd / mon_name
+    if p.kind == "mon_name":
+        month = g["b"].map(MONTHS)
+    else:
+        month = g["M"]
+    year = (
+        pd.Series(str(anchor_year), index=g.index)
+        if p.noyear
+        else g["Y"]
+    )
+    day = g["D"].str.replace(" ", "0")  # 'Jan  1' space-padded day
+    canon = (
+        year + "-" + month + "-" + day
+        + " " + g["h"] + ":" + g["mi"] + ":" + g["s"]
+    )
+    ts = pd.to_datetime(canon, format="%Y-%m-%d %H:%M:%S")
+    if "f" in g.columns:
+        frac = g["f"]
+        has = frac.notna()
+        if has.any():
+            us = frac[has].str.pad(6, side="right", fillchar="0").astype("int64")
+            ts = ts.copy()
+            ts[has] = ts[has] + pd.to_timedelta(us, unit="us")
+    # tz → UTC (named map or ±hhmm), else assume UTC
+    if "tz" in g.columns:
+        offmin = _tz_minutes_numeric(g["tz"])
+        ts = ts - pd.to_timedelta(offmin, unit="m")
+    elif "tzn" in g.columns:
+        offmin = g["tzn"].map(TZ_OFFSET_MIN).astype("int64")
+        ts = ts - pd.to_timedelta(offmin, unit="m")
+    return ts, None
+
+
+def parse_series(
+    texts: pd.Series, anchor_year: int = ANCHOR_YEAR_DEFAULT
+) -> pd.DataFrame:
+    """text → (ts_parsed, pattern_id, sink, dt_beg, dt_end, uptime_us).
+
+    Rows matching no pattern are continuation lines
+    (src/data/mod.rs:34-44): null ts, null pattern_id,
+    sink='continuation'.
+    """
+    idx = texts.index
+    out = pd.DataFrame(
+        {
+            "ts_parsed": pd.Series(pd.NaT, index=idx, dtype="datetime64[ns]"),
+            "pattern_id": pd.Series(pd.NA, index=idx, dtype="Int32"),
+            "sink": pd.Series(CONTINUATION_SINK, index=idx, dtype="object"),
+            "dt_beg": pd.Series(pd.NA, index=idx, dtype="Int32"),
+            "dt_end": pd.Series(pd.NA, index=idx, dtype="Int32"),
+            "uptime_us": pd.Series(pd.NA, index=idx, dtype="Int64"),
+        }
+    )
+    prefix = texts.str.slice(0, MAX_SCAN)
+    # EZCHECKD2: every bank entry needs two consecutive digits
+    remaining = prefix.str.contains(r"\d\d", regex=True, na=False)
+    for p in PATTERNS:
+        if not remaining.any():
+            break
+        ext = prefix[remaining].str.extract(p.regex)
+        hit = ext["dt"].notna()
+        if not hit.any():
+            continue
+        g = ext[hit]
+        ts, up = _canonicalize(p, g, anchor_year)
+        midx = g.index
+        out.loc[midx, "ts_parsed"] = ts
+        out.loc[midx, "pattern_id"] = np.int32(p.pid)
+        out.loc[midx, "sink"] = p.name
+        beg = (
+            g["pre"].str.len().astype("int64")
+            if p.dt_beg is None
+            else p.dt_beg
+        )
+        out.loc[midx, "dt_beg"] = beg
+        out.loc[midx, "dt_end"] = beg + g["dt"].str.len().astype("int64")
+        if up is not None:
+            out.loc[midx, "uptime_us"] = up
+        remaining.loc[midx] = False
+    return out
+
+
+def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT):
+    """Arrow-batched pandas UDF over the text column.
+
+    The JVM ships Arrow batches to a long-lived Python worker — the
+    same architecture the reference uses for its child-Python readers
+    (src/readers/pyeventreader.rs:629, src/python/pyrunner.rs:653),
+    but vectorized instead of line-protocol-per-record.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(RESULT_FIELDS)
+    def parse_text(texts: pd.Series) -> pd.DataFrame:
+        return parse_series(texts, anchor_year=anchor_year)
+
+    return parse_text

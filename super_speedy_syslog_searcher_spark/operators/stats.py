@@ -1,0 +1,85 @@
+"""Summary aggregates — s4's --summary surface as groupBy aggregates.
+
+Reference: per-file SummarySyslineReader (syslines, longest line,
+per-pattern counts, dt_first/dt_last, out-of-order count,
+src/readers/syslinereader.rs:845-916), global SummaryPrinted
+(src/printer/summary.rs:163-189), evtx out-of-order tally
+(src/readers/evtxreader.rs:238,462).
+
+All are built-in partial+final hash aggregates — map-side combine
+makes them shuffle only one row per (group × column), which is why
+they hold at 10^12 input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pattern_counts(parsed: DataFrame) -> DataFrame:
+    """lines-per-pattern (syslinereader.rs:136 dt_patterns counters)."""
+    return (
+        parsed.filter(F.col("pattern_id").isNotNull())
+        .groupBy(F.col("pattern_id").cast("int").alias("pattern_id"))
+        .agg(F.count("*").alias("rows"))
+    )
+
+
+def sink_counts(assembled: DataFrame, sink_col: str = "sink_eff") -> DataFrame:
+    """per-sink routed-row counts (printer fan-out tallies)."""
+    return assembled.groupBy(F.col(sink_col).alias("sink")).agg(
+        F.count("*").alias("rows")
+    )
+
+
+def hourly_histogram(df: DataFrame, ts_col: str = "ts_eff") -> DataFrame:
+    """per-hour message histogram — tumbling-window analogue of the
+    dt_first/dt_last span stats."""
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .agg(F.count("*").alias("rows"))
+    )
+
+
+def conv_summary(parsed: DataFrame) -> DataFrame:
+    """Per-conversation summary = s4's per-file Summary struct:
+    syslines (dt-bearing turns), total turns, longest line,
+    dt_first/dt_last, out-of-order count (ts_parsed < previous
+    ts_parsed in turn order — evtxreader.rs:174-238 semantics)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_ts = F.last(
+        F.when(F.col("ts_parsed").isNotNull(), F.col("ts_parsed")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ooo = F.when(
+        F.col("ts_parsed").isNotNull()
+        & prev_ts.isNotNull()
+        & (F.col("ts_parsed") < prev_ts),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        parsed.withColumn("_ooo", ooo)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("turns"),
+            F.count("ts_parsed").alias("syslines"),
+            F.max(F.length("text")).cast("int").alias("longest_line"),
+            F.min("ts_parsed").alias("dt_first"),
+            F.max("ts_parsed").alias("dt_last"),
+            F.sum("_ooo").alias("out_of_order"),
+        )
+    )
+
+
+def global_summary(assembled: DataFrame) -> DataFrame:
+    """SummaryPrinted analogue: one-row global totals."""
+    return assembled.agg(
+        F.count("*").alias("rows_total"),
+        F.count("ts_parsed").alias("syslines_total"),
+        F.sum(F.length("text")).alias("bytes_texts"),
+        F.min("ts_eff").alias("dt_first"),
+        F.max("ts_eff").alias("dt_last"),
+        F.countDistinct("conv_id").alias("convs"),
+    )
