@@ -1,0 +1,139 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: parse+merge throughput (turns/sec) over the transcripts
+derivation at $SPARK_GRAFT_SF_DIR (default sf0.1), local[$SPARK_GRAFT_CPUS].
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32)
+  S4SPARK_BENCH_REPL   deterministic input replication factor (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from super_speedy_syslog_searcher_spark import pipeline as P  # noqa: E402
+from super_speedy_syslog_searcher_spark.datagen import (  # noqa: E402
+    transcripts_df,
+)
+from super_speedy_syslog_searcher_spark.operators import stats  # noqa: E402
+from super_speedy_syslog_searcher_spark.operators.merge import (  # noqa: E402
+    dt_filter,
+)
+from super_speedy_syslog_searcher_spark.session import get_spark  # noqa: E402
+
+DT_AFTER = "2024-01-10 00:00:00"
+DT_BEFORE = "2024-01-20 00:00:00"
+
+
+def replicated_transcripts(spark, sf_dir: str, repl: int):
+    """Deterministic input scale-up: repl copies, distinct conv spaces
+    (suffix) so the merge keyspace grows with the data."""
+    t = transcripts_df(spark, sf_dir)
+    if repl <= 1:
+        return t
+    r = spark.range(repl).withColumnRenamed("id", "_r")
+    return (
+        t.crossJoin(r)
+        .withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("#"), F.col("_r"))
+        )
+        .drop("_r")
+    )
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(spark, sf_dir: str, repl: int) -> dict:
+    t = replicated_transcripts(spark, sf_dir, repl).cache()
+    n_turns = t.count()  # materialize input so timings measure the pipeline
+    # warm the Python UDF workers (one-time fork cost, ~5-15s for 32
+    # workers; hyperfine-style warmup, not part of steady-state cost).
+    # Must touch every core → a 32-partition range, not a limit().
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):  # noqa: ANN001
+        return s
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _noop_write(
+        spark.range(0, cores * 10, 1, cores).select(_warm("id"))
+    )
+    _noop_write(P.parse_repair(t.limit(2000)))
+
+    timings: dict[str, float] = {}
+    reps = int(os.environ.get("S4SPARK_BENCH_REPS", "2"))
+
+    def timed(name, fn):
+        fn()  # untimed warmup: JIT-compile this plan's codegen stages
+        best = float("inf")
+        for _ in range(reps):  # min-of-N: GC noise swamps single runs
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # headline: parse → repair → assemble → dt-filter → global merge
+    def _run_merge():
+        stg: list = []
+        _noop_write(P.full_merge(t, DT_AFTER, DT_BEFORE, staging=stg))
+        for s in stg:
+            s.unpersist(blocking=True)
+
+    timed("parse_merge", _run_merge)
+    timed("parse_only", lambda: _noop_write(P.parse_repair(t)))
+    timed(
+        "sink_counts",
+        lambda: stats.sink_counts(P.assembled(t)).collect(),
+    )
+    timed(
+        "hourly_hist",
+        lambda: stats.hourly_histogram(P.assembled(t)).collect(),
+    )
+    timed(
+        "conv_summary",
+        lambda: stats.conv_summary(P.parse_repair(t)).collect(),
+    )
+    timed(
+        "dt_window_count",
+        lambda: dt_filter(P.assembled(t), DT_AFTER, DT_BEFORE).count(),
+    )
+    t.unpersist()
+    return {"n_turns": n_turns, "timings": timings}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("S4SPARK_BENCH_REPL", "10"))
+    spark = get_spark(app_name="s4spark-bench")
+    res = run(spark, sf_dir, repl)
+    total = sum(res["timings"].values())
+    tput = res["n_turns"] / res["timings"]["parse_merge"]
+    out = {
+        "metric": "parse+merge wall seconds (headline parse_merge; turns_per_sec = n_turns/parse_merge)",
+        "value": round(res["timings"]["parse_merge"], 3),
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": sf_dir,
+        "n_turns": res["n_turns"],
+        "turns_per_sec": round(tput),
+        "total_sec": round(total, 3),
+        "repl": repl,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,16 @@ def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
     return pd.Series(sign * mins, index=tz.index)
 
 
+MONTH_NUM = {k: int(v) for k, v in MONTHS.items()}
+
+
 def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
     """Captured groups → (utc timestamps, uptime_us or None).
 
     Vectorized equivalent of captures_to_buffer_bytes
-    (src/data/datetime.rs:1368-1890).
+    (src/data/datetime.rs:1368-1890).  Timestamps are assembled from
+    integer components (pd.to_datetime on a component frame — numeric
+    fast path), never by string formatting + strptime.
     """
     if p.kind == "uptime":
         up = g["us_"].astype("int64") * 1_000_000 + g["f"].astype("int64")
@@ -64,24 +69,30 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         frac = g["f"]
         scale = 10 ** (6 - frac.str.len().astype("int64"))
         us = sec * 1_000_000 + frac.astype("int64") * scale
-        return pd.to_datetime(us, unit="us"), None
+        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
 
     # ymd / mon_name
     if p.kind == "mon_name":
-        month = g["b"].map(MONTHS)
+        month = g["b"].map(MONTH_NUM)
     else:
-        month = g["M"]
+        month = g["M"].astype("int64")
     year = (
-        pd.Series(str(anchor_year), index=g.index)
+        pd.Series(anchor_year, index=g.index)
         if p.noyear
-        else g["Y"]
+        else g["Y"].astype("int64")
     )
-    day = g["D"].str.replace(" ", "0")  # 'Jan  1' space-padded day
-    canon = (
-        year + "-" + month + "-" + day
-        + " " + g["h"] + ":" + g["mi"] + ":" + g["s"]
+    day = g["D"].str.replace(" ", "").astype("int64")  # 'Jan  1' pad
+    comp = pd.DataFrame(
+        {
+            "year": year,
+            "month": month,
+            "day": day,
+            "hour": g["h"].astype("int64"),
+            "minute": g["mi"].astype("int64"),
+            "second": g["s"].astype("int64"),
+        }
     )
-    ts = pd.to_datetime(canon, format="%Y-%m-%d %H:%M:%S")
+    ts = pd.to_datetime(comp)
     if "f" in g.columns:
         frac = g["f"]
         has = frac.notna()
@@ -97,6 +108,38 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         offmin = g["tzn"].map(TZ_OFFSET_MIN).astype("int64")
         ts = ts - pd.to_timedelta(offmin, unit="m")
     return ts, None
+
+
+def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
+    """Cheap vectorized candidate masks per pattern — the EZCHECK
+    idea (syslinereader.rs:1618-1721, slice_contains.rs SIMD
+    prefilters) done with C-speed string slices: each row then runs
+    ~1 regex instead of the whole bank."""
+    c0 = prefix.str.slice(0, 1)
+    first3 = prefix.str.slice(0, 3)
+    digit0 = c0.str.isdigit().fillna(False)
+    iso = (
+        prefix.str.slice(0, 4).str.isdigit().fillna(False)
+        & (prefix.str.slice(4, 5) == "-")
+    )
+    bracket = c0 == "["
+    from ..patterns import MONTHS as _M, TZ_OFFSET_MIN as _T  # noqa: F401
+
+    dows = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
+    return {
+        0: iso,
+        1: iso,
+        2: first3.isin(dows) & (prefix.str.slice(3, 5) == ", "),
+        3: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
+        4: bracket & (prefix.str.slice(3, 4) == "/"),
+        5: (
+            prefix.str.slice(0, 2).str.isdigit().fillna(False)
+            & (prefix.str.slice(2, 3) == "-")
+        ),
+        6: prefix.str.startswith("type=", na=False),
+        7: digit0 & ~iso,
+        8: bracket,
+    }
 
 
 def parse_series(
@@ -122,10 +165,14 @@ def parse_series(
     prefix = texts.str.slice(0, MAX_SCAN)
     # EZCHECKD2: every bank entry needs two consecutive digits
     remaining = prefix.str.contains(r"\d\d", regex=True, na=False)
+    masks = _dispatch_masks(prefix)
     for p in PATTERNS:
         if not remaining.any():
             break
-        ext = prefix[remaining].str.extract(p.regex)
+        cand = remaining & masks[p.pid]
+        if not cand.any():
+            continue
+        ext = prefix[cand].str.extract(p.regex)
         hit = ext["dt"].notna()
         if not hit.any():
             continue

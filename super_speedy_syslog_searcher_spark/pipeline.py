@@ -31,9 +31,23 @@ def full_merge(
     before: str | None = None,
     enrich: bool = False,
     num_partitions: int | None = None,
+    persist_before_sort: bool = True,
+    staging: list | None = None,
 ) -> DataFrame:
+    """persist_before_sort: a global sort range-partitions by sampling
+    its child, which would re-run the parse UDF a second time;
+    staging the (already dt-filtered) parse output first trades one
+    cheap materialization for a full re-parse.  At 10^12-row scale
+    the same role is played by the routed Iceberg sink staging table
+    (route.write_routed) — sort from columnar storage, parse once."""
     out = assembled(df)
     if enrich:
         out = enrich_stage(out)
     out = dt_filter(out, after, before)
+    if persist_before_sort:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        if staging is not None:
+            staging.append(out)  # caller unpersists after its action
     return merge_ordered(out, num_partitions=num_partitions)

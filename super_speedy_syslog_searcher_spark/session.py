@@ -43,6 +43,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("S4SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

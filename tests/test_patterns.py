@@ -1,0 +1,60 @@
+"""Per-pattern embedded test cases — the reference's self-testing
+pattern-table idea (ere_datetimes_impl.rs:2078-2087: every DTPD ships
+_test_cases validated by test_DATETIME_PARSE_DATAS_test_cases)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from super_speedy_syslog_searcher_spark.functions.datetime_parse import (
+    parse_series,
+)
+from super_speedy_syslog_searcher_spark.patterns import PATTERNS
+
+CASES = [
+    (p, text, exp, beg, end)
+    for p in PATTERNS
+    for (text, exp, beg, end) in p.tests
+]
+
+
+@pytest.mark.parametrize(
+    "p,text,exp,beg,end",
+    CASES,
+    ids=[f"{p.name}:{t[:24]}" for p, t, *_ in CASES],
+)
+def test_pattern_case(p, text, exp, beg, end):
+    r = parse_series(pd.Series([text])).iloc[0]
+    assert r.pattern_id == p.pid, f"matched {r.sink} not {p.name}"
+    assert r.dt_beg == beg and r.dt_end == end
+    if p.kind == "uptime":
+        assert r.uptime_us == exp
+        assert pd.isna(r.ts_parsed)
+    else:
+        assert str(r.ts_parsed) == exp
+
+
+def test_first_match_wins_order():
+    """iso8601 with tz must hit pattern 0, not the no-tz pattern."""
+    r = parse_series(pd.Series(["2024-01-05T03:04:05 -0800 x"])).iloc[0]
+    assert r.pattern_id == 0
+
+
+def test_continuation_row():
+    r = parse_series(pd.Series(["  at frame alpha beta"])).iloc[0]
+    assert pd.isna(r.pattern_id)
+    assert r.sink == "continuation"
+    assert pd.isna(r.ts_parsed)
+
+
+def test_prefilter_skips_digitless():
+    out = parse_series(pd.Series(["no digits here at all", ""]))
+    assert out["pattern_id"].isna().all()
+
+
+def test_midline_datetime_not_matched():
+    """Patterns are anchored at line start (the generated corpus always
+    embeds datetimes at offset 0 / after a fixed preamble)."""
+    r = parse_series(pd.Series(["note: 2024-01-05T03:04:05 follows"])).iloc[0]
+    assert pd.isna(r.pattern_id)
