@@ -19,7 +19,13 @@ from super_speedy_syslog_searcher_spark import oracle as O
 from super_speedy_syslog_searcher_spark import pipeline as P
 from super_speedy_syslog_searcher_spark import session
 from super_speedy_syslog_searcher_spark.datagen import transcripts_df
-from super_speedy_syslog_searcher_spark.operators import stats
+from super_speedy_syslog_searcher_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    stats,
+    textstats,
+)
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich_stage
 from super_speedy_syslog_searcher_spark.operators.merge import (
     dt_filter,
@@ -66,19 +72,19 @@ def q_merge_ordered(spark, sf_dir):
 
 
 def q_pattern_counts(spark, sf_dir):
-    return stats.pattern_counts(P.parse_repair(_t(spark, sf_dir)))
+    return stats.pattern_counts(P.parse_repair(_t(spark, sf_dir), narrow=True))
 
 
 def q_sink_counts(spark, sf_dir):
-    return stats.sink_counts(P.assembled(_t(spark, sf_dir)))
+    return stats.sink_counts(P.assembled(_t(spark, sf_dir), narrow=True))
 
 
 def q_hourly_hist(spark, sf_dir):
-    return stats.hourly_histogram(P.assembled(_t(spark, sf_dir)))
+    return stats.hourly_histogram(P.assembled(_t(spark, sf_dir), narrow=True))
 
 
 def q_conv_summary(spark, sf_dir):
-    df = stats.conv_summary(P.parse_repair(_t(spark, sf_dir)))
+    df = stats.conv_summary(P.parse_repair(_t(spark, sf_dir), narrow=True))
     return df.select(
         "conv_id",
         F.col("turns").cast("bigint").alias("turns"),
@@ -92,7 +98,7 @@ def q_conv_summary(spark, sf_dir):
 
 def q_routed_enriched(spark, sf_dir):
     """Broadcast-dim enrich + per-sink routed tallies (§2.4, route)."""
-    df = enrich_stage(P.assembled(_t(spark, sf_dir)))
+    df = enrich_stage(P.assembled(_t(spark, sf_dir), narrow=True))
     return df.groupBy(
         F.col("sink_eff").alias("sink"), "role_kind"
     ).agg(
@@ -105,7 +111,7 @@ def q_routed_enriched(spark, sf_dir):
 
 
 def q_global_summary(spark, sf_dir):
-    df = stats.global_summary(P.assembled(_t(spark, sf_dir)))
+    df = stats.global_summary(P.assembled(_t(spark, sf_dir), narrow=True))
     return df.select(
         F.col("rows_total").cast("bigint").alias("rows_total"),
         F.col("syslines_total").cast("bigint").alias("syslines_total"),
@@ -118,7 +124,7 @@ def q_global_summary(spark, sf_dir):
 
 def q_sysline_assembly(spark, sf_dir):
     """Continuation-line attachment (§2.6 sysline assembly)."""
-    df = P.assembled(_t(spark, sf_dir))
+    df = P.assembled(_t(spark, sf_dir), narrow=True)
     return (
         df.filter(F.col("msg_turn_idx").isNotNull())
         .groupBy("conv_id", F.col("msg_turn_idx").cast("int").alias("msg_turn_idx"))
@@ -129,9 +135,175 @@ def q_sysline_assembly(spark, sf_dir):
 def q_dt_window_sinks(spark, sf_dir):
     """dt-range filter pushdown + per-sink counts (binary-search
     analogue, §2.7)."""
-    df = dt_filter(P.assembled(_t(spark, sf_dir)), DT_AFTER, DT_BEFORE)
+    df = dt_filter(P.assembled(_t(spark, sf_dir), narrow=True), DT_AFTER, DT_BEFORE)
     return df.groupBy(F.col("sink_eff").alias("sink")).agg(
         F.count("*").cast("bigint").alias("rows")
+    )
+
+
+# -------------------------------------------- training-data pipeline ops
+
+def q_dedup_exact(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dups(docs).select(
+        "digest",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_band_pairs(docs).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def q_simhash(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash_hex"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb).select(
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("nbr_id").cast("bigint").alias("nbr_id"),
+        "cosine",
+        "rank",
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb).select(
+        F.col("probe_id").cast("bigint").alias("probe_id"),
+        F.col("nbr_id").cast("bigint").alias("nbr_id"),
+        "cosine",
+        "rank",
+    )
+
+
+def q_text_tokens(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_counts(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "ws_tokens",
+        "re_tokens",
+        "n_chars",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_scores(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_words",
+        "stop_ratio",
+        "punct_ratio",
+        "mean_word_len",
+        "quality_x10k",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang_declared",
+        "en_density",
+        "lang_guess",
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprints(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "content_fp",
+        "bow_fp",
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.extract_metadata(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "header_hex",
+        "modality",
+    )
+
+
+# ------------------------------------------------ general OLAP (TPC-H-ish)
+
+def q_tpch_q1(spark, sf_dir):
+    session.prep(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    session.prep(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+            "revenue",
+        )
     )
 
 
@@ -153,6 +325,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_summary": q_global_summary,
         "sysline_assembly": q_sysline_assembly,
         "dt_window_sinks": q_dt_window_sinks,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -225,4 +410,176 @@ FROM asm WHERE msg_turn_idx IS NOT NULL GROUP BY 1, 2""",
         "dt_window_sinks": f"""{b}
 SELECT sink_eff AS sink, CAST(count(*) AS BIGINT) AS rows
 FROM asm WHERE {rng} GROUP BY 1""",
+        **_training_data_oracles(),
+    }
+
+
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+shx AS (SELECT doc_id, lang, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i, ws FROM w),
+sh AS (SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM shx)
+"""
+
+_NIB_CASE = (
+    "CASE substr(h, p, 1) "
+    + " ".join(f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef")
+    + " END"
+)
+_HEX_CASE = (
+    "CASE nv "
+    + " ".join(f"WHEN {v} THEN '{format(v, 'x')}'" for v in range(16))
+    + " END"
+)
+
+_STOPS = "('the','a','of','and','to','in','is','it','that','for')"
+
+_ANN_NORM_CTE = """
+n AS (SELECT vec_id, embedding,
+  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pn FROM n WHERE vec_id < 10)
+"""
+
+_DOT = (
+    "list_sum(list_transform(list_zip(pv, n.embedding), "
+    "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+)
+
+
+def _training_data_oracles() -> dict[str, str]:
+    minhash_sig = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS m{i}" for i in range(8)
+    )
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS digest, CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_minhash_lsh": f"""WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_sig} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM sig)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id""",
+        "dedup_ngram_jaccard": f"""WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+  FROM shared
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
+FROM j WHERE jaccard >= 0.2""",
+        "simhash": f"""WITH
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hh AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),
+pos AS (SELECT doc_id, unnest(generate_series(1, 16)) AS p, h FROM hh),
+nibv AS (SELECT doc_id, p, ({_NIB_CASE}) AS v FROM pos),
+sums AS (SELECT doc_id, p,
+  sum(CASE WHEN (v & 1) > 0 THEN 1 ELSE -1 END) AS s0,
+  sum(CASE WHEN (v & 2) > 0 THEN 1 ELSE -1 END) AS s1,
+  sum(CASE WHEN (v & 4) > 0 THEN 1 ELSE -1 END) AS s2,
+  sum(CASE WHEN (v & 8) > 0 THEN 1 ELSE -1 END) AS s3
+  FROM nibv GROUP BY 1, 2),
+nib AS (SELECT doc_id, p,
+  (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+  + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS nv
+  FROM sums),
+hx AS (SELECT doc_id, p, ({_HEX_CASE}) AS hexc FROM nib)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(hexc, '' ORDER BY p) AS simhash_hex
+FROM hx GROUP BY doc_id""",
+        "ann_cosine_topk": f"""WITH {_ANN_NORM_CTE},
+s AS (SELECT probe_id, n.vec_id AS nbr_id,
+        round({_DOT} / (pn * n.nrm), 4) AS cosine
+      FROM p, n WHERE n.vec_id <> probe_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rank FROM s)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5""",
+        "ann_ivf_topk": f"""WITH {_ANN_NORM_CTE},
+bkt AS (SELECT vec_id, embedding, nrm,
+  list_position(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS bucket
+  FROM n),
+pb AS (SELECT b.vec_id AS probe_id, b.embedding AS pv, b.nrm AS pn, b.bucket AS pbucket
+       FROM bkt b WHERE b.vec_id < 10),
+s AS (SELECT probe_id, n.vec_id AS nbr_id,
+        round(list_sum(list_transform(list_zip(pv, n.embedding),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (pn * n.nrm), 4) AS cosine
+      FROM pb, bkt n WHERE n.bucket = pbucket AND n.vec_id <> probe_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rank FROM s)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5""",
+        "text_tokens": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+        "text_quality": f"""WITH q AS (
+  SELECT doc_id, text,
+         string_split(lower(text), ' ') AS words,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_filter(list_distinct(string_split(lower(text), ' ')),
+             w -> w IN {_STOPS})) AS n_stop,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(n_stop / n_words, 4) AS stop_ratio,
+       round(punct / length(text), 4) AS punct_ratio,
+       round(length(replace(text, ' ', '')) / n_words, 4) AS mean_word_len,
+       CAST(floor(((n_stop / n_words) * 2.0 - (punct / length(text))
+             + least(length(text) / 500.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS quality_x10k
+FROM q""",
+        "lang_id": f"""WITH q AS (
+  SELECT doc_id, lang,
+         len(list_filter(list_distinct(string_split(lower(text), ' ')),
+             w -> w IN {_STOPS}))
+         / len(string_split(lower(text), ' ')) AS density
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_declared,
+       round(density, 4) AS en_density,
+       CASE WHEN density > 0.02 THEN 'en' ELSE 'other' END AS lang_guess
+FROM q""",
+        "doc_fingerprint": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bow_fp
+FROM documents""",
+        "multimodal_meta": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+       'text' AS modality
+FROM documents""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+        "tpch_q3": """
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3""",
     }

@@ -91,24 +91,25 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         for s in stg:
             s.unpersist(blocking=True)
 
-    timed("parse_merge", _run_merge)
-    timed("parse_only", lambda: _noop_write(P.parse_repair(t)))
-    timed(
-        "sink_counts",
-        lambda: stats.sink_counts(P.assembled(t)).collect(),
-    )
-    timed(
-        "hourly_hist",
-        lambda: stats.hourly_histogram(P.assembled(t)).collect(),
-    )
-    timed(
-        "conv_summary",
-        lambda: stats.conv_summary(P.parse_repair(t)).collect(),
-    )
-    timed(
-        "dt_window_count",
-        lambda: dt_filter(P.assembled(t), DT_AFTER, DT_BEFORE).count(),
-    )
+    only = os.environ.get("S4SPARK_BENCH_ONLY")
+    suite = {
+        "parse_merge": _run_merge,
+        "parse_only": lambda: _noop_write(P.parse_repair(t)),
+        "sink_counts": lambda: stats.sink_counts(P.assembled(t, narrow=True)).collect(),
+        "hourly_hist": lambda: stats.hourly_histogram(
+            P.assembled(t, narrow=True)
+        ).collect(),
+        "conv_summary": lambda: stats.conv_summary(
+            P.parse_repair(t, narrow=True)
+        ).collect(),
+        "dt_window_count": lambda: dt_filter(
+            P.assembled(t, narrow=True), DT_AFTER, DT_BEFORE
+        ).count(),
+    }
+    for name, fn in suite.items():
+        if only and name not in only.split(","):
+            continue
+        timed(name, fn)
     t.unpersist()
     return {"n_turns": n_turns, "timings": timings}
 

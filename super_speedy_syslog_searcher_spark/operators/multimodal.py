@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed via Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libs in this
+container — a deterministic fake stands in, and `decode_image`
+raises NotImplementedError to mark the seam); the Spark-side
+contract is real and tested: binary column schema, iterator-of-
+batches UDF signature, per-batch shaping, and partition-preserving
+metadata extraction.  This mirrors the reference's child-Python
+reader protocol (src/readers/pyeventreader.rs:629,
+src/python/pyrunner.rs:653): opaque bytes in, typed records out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, header_hex string, modality string"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub seam
+    """Real decoder seam: wire Pillow/libvips here on a cluster with
+    the libs installed."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; extract_metadata uses the deterministic header "
+        "path instead"
+    )
+
+
+def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch metadata extraction over the binary column.
+
+    Deterministic fake 'decode': byte length + first-4-bytes hex +
+    modality sniff.  Batch shape: whatever Arrow hands us in,
+    one row out per row in.
+    """
+    for pdf in batches:
+        payload = pdf["payload"]
+        n_bytes = payload.map(len).astype("int64")
+        header = payload.map(lambda b: bytes(b[:4]).hex())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "header_hex": header,
+                "modality": pd.Series(
+                    ["text"] * len(pdf), index=pdf.index
+                ),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """The sandbox has no real image/audio corpus: synthesize the
+    opaque binary column from text bytes (the plumbing under test is
+    identical — binary in, typed struct out)."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+def extract_metadata(docs: DataFrame) -> DataFrame:
+    """binary payload → typed metadata via mapInPandas (Arrow batch
+    iterator — the vectorized form of s4's line-protocol child
+    reader)."""
+    return with_binary_payload(docs).mapInPandas(_extract, META_SCHEMA)

@@ -20,6 +20,7 @@ def parse_stage(
     df: DataFrame,
     text_col: str = "text",
     anchor_year: int = ANCHOR_YEAR_DEFAULT,
+    scatter: bool = True,
 ) -> DataFrame:
     """transcripts → transcripts + (ts_parsed, pattern_id, sink,
     dt_beg, dt_end, uptime_us).
@@ -27,7 +28,20 @@ def parse_stage(
     Equivalent reference flow: SyslineReader::find_datetime_in_line →
     bytes_to_regex_to_datetime (syslinereader.rs:1733,
     datetime.rs:1892) executed per line; here one vectorized pass.
+
+    scatter: parse is row-independent, but the input is often
+    partitioned by conv_id (upstream windows / table layout) and a
+    hot conversation then makes one straggler task own ~20% of the
+    rows.  A round-robin repartition to the cluster's parallelism
+    before the UDF removes the straggler — the Spark analogue of s4's
+    one-huge-file thread imbalance, and the skew fixture's reason to
+    exist.  At 10^12 rows the same is achieved by file-split-sized
+    input partitions (maxPartitionBytes), so the shuffle is skipped
+    when the input is already well-partitioned.
     """
+    if scatter:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
     udf = make_parse_udf(anchor_year)
     parsed = df.withColumn("_p", udf(F.col(text_col)))
     return parsed.select("*", *[f"_p.{c}" for c in PARSE_COLS]).drop("_p")

@@ -59,13 +59,18 @@ def conv_summary(parsed: DataFrame) -> DataFrame:
         & (F.col("ts_parsed") < prev_ts),
         F.lit(1),
     ).otherwise(F.lit(0))
+    length_expr = (
+        F.col("text_len")
+        if "text_len" in parsed.columns
+        else F.length("text")
+    )
     return (
         parsed.withColumn("_ooo", ooo)
         .groupBy("conv_id")
         .agg(
             F.count("*").alias("turns"),
             F.count("ts_parsed").alias("syslines"),
-            F.max(F.length("text")).cast("int").alias("longest_line"),
+            F.max(length_expr).cast("int").alias("longest_line"),
             F.min("ts_parsed").alias("dt_first"),
             F.max("ts_parsed").alias("dt_last"),
             F.sum("_ooo").alias("out_of_order"),
@@ -75,10 +80,15 @@ def conv_summary(parsed: DataFrame) -> DataFrame:
 
 def global_summary(assembled: DataFrame) -> DataFrame:
     """SummaryPrinted analogue: one-row global totals."""
+    length_expr = (
+        F.col("text_len")
+        if "text_len" in assembled.columns
+        else F.length("text")
+    )
     return assembled.agg(
         F.count("*").alias("rows_total"),
         F.count("ts_parsed").alias("syslines_total"),
-        F.sum(F.length("text")).alias("bytes_texts"),
+        F.sum(length_expr).alias("bytes_texts"),
         F.min("ts_eff").alias("dt_first"),
         F.max("ts_eff").alias("dt_last"),
         F.countDistinct("conv_id").alias("convs"),
