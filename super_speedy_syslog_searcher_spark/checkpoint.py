@@ -1,0 +1,118 @@
+"""Per-partition checkpoint/resume with lineage + metrics
+(north_rule: "checkpoints per-Iceberg-partition progress with lineage
+and metrics so a killed run resumes without reprocessing").
+
+Protocol (write-then-record, idempotent):
+ 1. split the input by a partition key (default: event date — the
+    analogue of the Iceberg days(ts) partition)
+ 2. for each partition not yet recorded DONE: overwrite its output
+    subdirectory, then atomically record a manifest entry with
+    lineage (run_id) and metrics (rows_parsed, per-sink counts)
+ 3. a killed run leaves at most one partition half-written; its
+    manifest entry is absent, so resume re-overwrites exactly that
+    partition (overwrite => idempotent) and continues.
+
+The manifest is a JSON-lines directory (one file per partition so
+concurrent writers never clobber); on a cluster the same records live
+in an Iceberg metadata table and the output write is a partition
+overwrite commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import pipeline as P
+
+MANIFEST_DIR = "_manifest"
+
+
+def partition_keys(df: DataFrame, key_col) -> list[str]:
+    rows = df.select(key_col.alias("k")).distinct().collect()
+    return sorted(str(r["k"]) for r in rows)
+
+
+def done_partitions(out_dir: str) -> dict[str, dict]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                rec = json.load(f)
+            if rec.get("status") == "done":
+                out[rec["partition_key"]] = rec
+    return out
+
+
+def _record(out_dir: str, rec: dict) -> None:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"{rec['partition_key']}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)  # atomic commit of the manifest entry
+
+
+def run_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    max_partitions: int | None = None,
+) -> list[str]:
+    """Parse+assemble each date partition to parquet, checkpointed.
+
+    max_partitions simulates a kill after k partitions (tests).
+    Returns the partition keys processed in this call.
+    """
+    run_id = run_id or uuid.uuid4().hex
+    key = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    todo = [
+        k
+        for k in partition_keys(df, key)
+        if k not in done_partitions(out_dir)
+    ]
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+    processed = []
+    for k in todo:
+        part = df.filter(key == k)
+        result = P.assembled(part)
+        out_path = os.path.join(out_dir, f"day={k}")
+        result.write.mode("overwrite").parquet(out_path)  # idempotent
+        sink_counts = {
+            r["sink_eff"]: r["cnt"]
+            for r in result.groupBy("sink_eff")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        _record(
+            out_dir,
+            {
+                "partition_key": k,
+                "status": "done",
+                "rows_parsed": int(sum(sink_counts.values())),
+                "patterns_matched": int(
+                    sum(
+                        v
+                        for s, v in sink_counts.items()
+                        if s != "continuation"
+                    )
+                ),
+                "sink_counts": sink_counts,
+                "lineage_run_id": run_id,
+                "updated_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            },
+        )
+        processed.append(k)
+    return processed

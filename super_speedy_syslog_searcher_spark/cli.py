@@ -1,0 +1,167 @@
+"""s4-style CLI over the Spark pipeline.
+
+    python -m super_speedy_syslog_searcher_spark.cli <sf_dir> \
+        -a 2024-01-10 -b @+5d --prepend-utc --prepend-conv --summary
+
+Mirrors the reference's UX (README.md:34-56): a datetime window
+(-a/-b) over many sources, globally datetime-ordered output, optional
+prepended timestamp/source columns, per-source summary to stderr.
+
+The filter grammar implements the core of s4's 95 accepted forms
+(src/s4/s4.rs:552-559, 3537 string_to_rel_offset_datetime, 3614
+process_dt): ISO datetime/date (with optional fractional seconds and
+±hhmm offset), relative offsets like ``-1w2d3h`` against now, and
+``@±off`` anchored at the *other* bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import re
+import sys
+
+_REL = re.compile(r"^([+-])((?:\d+[smhdwy])+)$")
+_REL_AT = re.compile(r"^@([+-])((?:\d+[smhdwy])+)$")
+_UNITS = {
+    "s": "seconds", "m": "minutes", "h": "hours",
+    "d": "days", "w": "weeks",
+}
+_ISO = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?)?"
+    r"\s*(Z|[+-]\d{4})?$"
+)
+
+
+def _offset(sign: str, body: str) -> dt.timedelta:
+    total = dt.timedelta()
+    for num, unit in re.findall(r"(\d+)([smhdwy])", body):
+        if unit == "y":
+            total += dt.timedelta(days=365 * int(num))
+        else:
+            total += dt.timedelta(**{_UNITS[unit]: int(num)})
+    return -total if sign == "-" else total
+
+
+def parse_dt_filter(
+    value: str,
+    now: dt.datetime | None = None,
+    other: dt.datetime | None = None,
+) -> dt.datetime:
+    """One -a/-b value → UTC-naive datetime.
+
+    Forms: ISO date(/time, frac, tz-offset or Z); ±offset (relative
+    to now, s4.rs:3537); @±offset (relative to the other bound,
+    s4.rs:3614).
+    """
+    now = now or dt.datetime.utcnow().replace(microsecond=0)
+    m = _REL_AT.match(value)
+    if m:
+        if other is None:
+            raise ValueError(f"'@' filter {value!r} needs the other bound")
+        return other + _offset(m.group(1), m.group(2))
+    m = _REL.match(value)
+    if m:
+        return now + _offset(m.group(1), m.group(2))
+    m = _ISO.match(value)
+    if m:
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        h = int(m.group(4) or 0)
+        mi = int(m.group(5) or 0)
+        s = int(m.group(6) or 0)
+        us = int((m.group(7) or "0").ljust(6, "0"))
+        out = dt.datetime(y, mo, d, h, mi, s, us)
+        tz = m.group(8)
+        if tz and tz != "Z":
+            sign = 1 if tz[0] == "+" else -1
+            out -= sign * dt.timedelta(
+                hours=int(tz[1:3]), minutes=int(tz[3:5])
+            )
+        return out
+    raise ValueError(f"unrecognized datetime filter: {value!r}")
+
+
+def resolve_filters(
+    a: str | None, b: str | None, now: dt.datetime | None = None
+) -> tuple[dt.datetime | None, dt.datetime | None]:
+    """Resolve -a/-b including one-sided '@' anchoring (both-@ is an
+    error, matching the reference)."""
+    a_at = a is not None and a.startswith("@")
+    b_at = b is not None and b.startswith("@")
+    if a_at and b_at:
+        raise ValueError("only one of -a/-b may use '@' anchoring")
+    if a_at:
+        rb = parse_dt_filter(b, now) if b else None
+        return parse_dt_filter(a, now, other=rb), rb
+    if b_at:
+        ra = parse_dt_filter(a, now) if a else None
+        return ra, parse_dt_filter(b, now, other=ra)
+    return (
+        parse_dt_filter(a, now) if a else None,
+        parse_dt_filter(b, now) if b else None,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="s4spark", description=__doc__.splitlines()[0]
+    )
+    ap.add_argument("sf_dir", help="testdata dir holding events.parquet")
+    ap.add_argument("-a", "--dt-after", default=None)
+    ap.add_argument("-b", "--dt-before", default=None)
+    ap.add_argument("-u", "--prepend-utc", action="store_true")
+    ap.add_argument("-l", "--prepend-conv", action="store_true")
+    ap.add_argument("--separator", default=" ")
+    ap.add_argument("--summary", action="store_true")
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    after, before = resolve_filters(args.dt_after, args.dt_before)
+
+    from pyspark.sql import functions as F
+
+    from . import pipeline as P
+    from .datagen import transcripts_df
+    from .operators import stats
+    from .session import get_spark
+
+    spark = get_spark(app_name="s4spark-cli")
+    t = transcripts_df(spark, args.sf_dir)
+    merged = P.full_merge(
+        t,
+        after.isoformat(sep=" ") if after else None,
+        before.isoformat(sep=" ") if before else None,
+    )
+    out = F.col("text")
+    if args.prepend_conv:
+        out = F.concat(F.col("conv_id"), F.lit(":"), F.lit(args.separator), out)
+    if args.prepend_utc:
+        out = F.concat(
+            F.date_format("ts_eff", "yyyyMMdd'T'HHmmss'Z'"),
+            F.lit(args.separator),
+            out,
+        )
+    lines = merged.select(out.alias("line"))
+    if args.limit:
+        lines = lines.limit(args.limit)
+    n = 0
+    for row in lines.toLocalIterator():
+        sys.stdout.write(row["line"] + "\n")
+        n += 1
+    if args.summary:
+        summ = stats.conv_summary(P.parse_repair(t, narrow=True)).collect()
+        print(f"printed {n} lines from {len(summ)} conversations", file=sys.stderr)
+        for r in sorted(summ, key=lambda r: r["conv_id"])[:20]:
+            print(
+                f"  {r['conv_id']}: turns={r['turns']} syslines={r['syslines']} "
+                f"dt_first={r['dt_first']} dt_last={r['dt_last']} "
+                f"out_of_order={r['out_of_order']}",
+                file=sys.stderr,
+            )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Structured Streaming: availableNow drain equals batch results;
+checkpoint restart processes only new files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.datagen import transcripts_df
+from super_speedy_syslog_searcher_spark.operators.parse import parse_stage
+from super_speedy_syslog_searcher_spark.streaming import pipeline as sp
+
+from tests.conftest import SF_SMOKE
+
+
+def _write_input(spark, t, path, marker):
+    (
+        t.withColumn("conv_id", F.concat("conv_id", F.lit(marker)))
+        .coalesce(2)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def test_streaming_routed_and_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = transcripts_df(spark, SF_SMOKE)
+    _write_input(spark, t, in_dir, "@a")
+
+    sp.run_routed_available_now(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    batch = parse_stage(spark.read.parquet(in_dir), scatter=False)
+    assert got1.count() == batch.count()
+    # routing fan-out: sink=... partition dirs exist
+    sinks = {r["sink"] for r in got1.select("sink").distinct().collect()}
+    assert "iso8601_tz" in sinks and "continuation" in sinks
+
+    # append new files; restart with same checkpoint → only new rows added
+    _write_input(spark, t, in_dir, "@b")
+    sp.run_routed_available_now(spark, in_dir, out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 2 * got1.count()
+    # the first batch's rows were not reprocessed/duplicated
+    a_rows = got2.filter(F.col("conv_id").endswith("@a")).count()
+    assert a_rows == got1.count()
+
+
+def test_streaming_hourly_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in2")
+    t = transcripts_df(spark, SF_SMOKE)
+    t.coalesce(2).write.mode("overwrite").parquet(in_dir)
+
+    sp.run_hourly_to_memory(spark, in_dir, "hourly_t")
+    got = {
+        (r["hour"], r["sink"]): r["rows"]
+        for r in spark.sql("SELECT * FROM hourly_t").collect()
+    }
+    batch = (
+        parse_stage(spark.read.parquet(in_dir), scatter=False)
+        .filter(F.col("ts_parsed").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", "ts_parsed").alias("hour"), "sink"
+        )
+        .agg(F.count("*").alias("rows"))
+    )
+    want = {(r["hour"], r["sink"]): r["rows"] for r in batch.collect()}
+    assert got == want

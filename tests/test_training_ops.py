@@ -1,0 +1,115 @@
+"""Training-data operators: semantic assertions beyond the oracle
+hash equality (which tests/test_pipeline_oracle.py already covers via
+queries()/oracle_sql())."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_exact_dup_detects_planted_duplicate(spark):
+    docs = _docs(spark)
+    clone = docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    dups = dedup.exact_dups(docs.unionByName(clone)).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs(spark)
+    # near-dup: append two words to an existing doc
+    clone = docs.limit(1).select(
+        F.lit(999_999).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pairs = dedup.minhash_band_pairs(docs.unionByName(clone)).collect()
+    assert any(
+        r["doc_b"] == 999_999 or r["doc_a"] == 999_999 for r in pairs
+    )
+
+
+def test_ann_self_similarity(spark):
+    emb = _emb(spark)
+    # a clone of vec 0 must rank as its top neighbor with cosine 1.0
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999_999).alias("vec_id"), "embedding", "label"
+    )
+    top = (
+        similarity.cosine_topk(emb.unionByName(clone), k=1, n_probes=1)
+        .collect()
+    )
+    assert top[0]["nbr_id"] == 999_999
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ivf_is_subset_semantics(spark):
+    """IVF searches only the probe's bucket: every IVF hit must also
+    appear in the brute-force candidate scoring for that probe."""
+    emb = _emb(spark)
+    bf = {
+        (r["probe_id"], r["nbr_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, k=500, n_probes=3).collect()
+    }
+    for r in similarity.ivf_topk(emb, k=5, n_probes=3).collect():
+        assert (r["probe_id"], r["nbr_id"]) in bf
+        assert bf[(r["probe_id"], r["nbr_id"])] == r["cosine"]
+
+
+def test_simhash_stable_under_word_reorder(spark):
+    """simhash is bag-of-words: reordering words keeps the signature."""
+    docs = _docs(spark).limit(3)
+    reordered = docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.reverse(F.split(F.col("text"), " "))
+        ),
+    )
+    a = {r["doc_id"]: r["simhash_hex"] for r in dedup.simhash(docs).collect()}
+    b = {
+        r["doc_id"]: r["simhash_hex"]
+        for r in dedup.simhash(reordered).collect()
+    }
+    assert a == b
+
+
+def test_multimodal_batch_shape(spark):
+    docs = _docs(spark)
+    meta = multimodal.extract_metadata(docs)
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    r0 = rows[0]
+    assert r0["n_bytes"] > 0 and len(r0["header_hex"]) == 8
+    assert r0["modality"] == "text"
+
+
+def test_quality_monotone_in_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a cat", "en", "s", 1),
+            (2, "zxq qqq bbb nnn mmm vvv ccc xxx zzz qqq", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = {r["doc_id"]: r for r in textstats.quality_scores(df).collect()}
+    assert q[1]["stop_ratio"] > q[2]["stop_ratio"]
+    assert q[1]["quality_x10k"] > q[2]["quality_x10k"]
