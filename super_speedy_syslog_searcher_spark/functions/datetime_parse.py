@@ -40,7 +40,8 @@ RESULT_FIELDS = (
 
 
 def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
-    """'+0530' / '-0800' → signed minutes."""
+    """'+0530' / '-08:00' → signed minutes."""
+    tz = tz.str.replace(":", "", regex=False)
     sign = np.where(tz.str.slice(0, 1) == "-", -1, 1)
     mins = (
         tz.str.slice(1, 3).astype("int64") * 60
@@ -71,11 +72,16 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         us = sec * 1_000_000 + frac.astype("int64") * scale
         return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
 
-    # ymd / mon_name
+    # ymd / mon_name / mdy12
     if p.kind == "mon_name":
         month = g["b"].map(MONTH_NUM)
     else:
         month = g["M"].astype("int64")
+    if p.kind == "mdy12":  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
+        h12 = g["h12"].astype("int64") % 12
+        hour = h12 + np.where(g["ampm"] == "PM", 12, 0)
+    else:
+        hour = g["h"].astype("int64")
     year = (
         pd.Series(anchor_year, index=g.index)
         if p.noyear
@@ -87,12 +93,15 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             "year": year,
             "month": month,
             "day": day,
-            "hour": g["h"].astype("int64"),
+            "hour": hour,
             "minute": g["mi"].astype("int64"),
             "second": g["s"].astype("int64"),
         }
     )
-    ts = pd.to_datetime(comp)
+    # coerce: an out-of-range component (month 13, day 32) must mean
+    # "this pattern did not match" (s4 semantics), never kill the
+    # batch — at 10^12 rows one malformed line would fail the job
+    ts = pd.to_datetime(comp, errors="coerce")
     if "f" in g.columns:
         frac = g["f"]
         has = frac.notna()
@@ -126,19 +135,25 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     from ..patterns import MONTHS as _M, TZ_OFFSET_MIN as _T  # noqa: F401
 
     dows = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
+    first2_digit = prefix.str.slice(0, 2).str.isdigit().fillna(False)
     return {
         0: iso,
         1: iso,
         2: first3.isin(dows) & (prefix.str.slice(3, 5) == ", "),
         3: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
         4: bracket & (prefix.str.slice(3, 4) == "/"),
-        5: (
-            prefix.str.slice(0, 2).str.isdigit().fillna(False)
-            & (prefix.str.slice(2, 3) == "-")
-        ),
+        5: first2_digit & (prefix.str.slice(2, 3) == "-"),
         6: prefix.str.startswith("type=", na=False),
         7: digit0 & ~iso,
         8: bracket,
+        9: iso,
+        10: (
+            prefix.str.slice(0, 4).str.isdigit().fillna(False)
+            & (prefix.str.slice(4, 5) == "/")
+        ),
+        11: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        12: prefix.str.slice(0, 8).str.isdigit().fillna(False),
+        13: iso,
     }
 
 
@@ -178,6 +193,13 @@ def parse_series(
             continue
         g = ext[hit]
         ts, up = _canonicalize(p, g, anchor_year)
+        if up is None:
+            valid = ts.notna()
+            if not valid.all():  # invalid date → pattern didn't match;
+                g = g[valid]     # row falls through to later patterns
+                ts = ts[valid]
+                if g.empty:
+                    continue
         midx = g.index
         out.loc[midx, "ts_parsed"] = ts
         out.loc[midx, "pattern_id"] = np.int32(p.pid)

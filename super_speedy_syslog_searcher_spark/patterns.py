@@ -88,7 +88,7 @@ PATTERNS: list[Pattern] = [
         1, "iso8601_notz",
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
         r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{3,6}))?)"
-        r"(?![.\d+-])",
+        r"(?![.\d+,-])",
         "ymd",
         tests=[
             ("2020-01-02T03:04:05 rest", "2020-01-02 03:04:05", 0, 19),
@@ -172,6 +172,59 @@ PATTERNS: list[Pattern] = [
             ("[0.000000] boot", 0, 1, 9),
             ("[12345.123456] usb 1-1: new device", 12345123456, 1, 13),
             ("[    1.000043] kernel: cmdline", 1000043, 5, 13),
+        ],
+    ),
+    # ---- extended families (appended: pattern ids 0-8 stay stable;
+    # the synthetic corpus generates only 0-8, these carry their own
+    # embedded tests like every other bank entry) -------------------
+    Pattern(
+        9, "iso_comma_frac",  # log4j/java style (ere_datetimes 2435-area)
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}),(?P<f>\d{3}))",
+        "ymd",
+        tests=[
+            ("2020-01-02 03:04:05,123 INFO main", "2020-01-02 03:04:05.123000", 0, 23),
+        ],
+    ),
+    Pattern(
+        10, "slash_ymd",  # nginx-error style YYYY/MM/DD
+        r"^(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))",
+        "ymd",
+        tests=[
+            ("2020/01/02 03:04:05 [error] 1#1", "2020-01-02 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        11, "us_mdy_12h",  # Windows-ish MM/DD/YYYY hh:mm:ss AM/PM
+        r"^(?P<dt>(?P<M>\d{2})/(?P<D>\d{2})/(?P<Y>\d{4}) "
+        r"(?P<h12>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}) (?P<ampm>AM|PM))",
+        "mdy12",
+        tests=[
+            ("01/02/2020 03:04:05 PM event", "2020-01-02 15:04:05", 0, 22),
+            ("01/02/2020 12:04:05 AM event", "2020-01-02 00:04:05", 0, 22),
+            ("01/02/2020 12:04:05 PM event", "2020-01-02 12:04:05", 0, 22),
+        ],
+    ),
+    Pattern(
+        12, "compact_ymdhms",  # 20200102T030405 / _-separated
+        r"^(?P<dt>(?P<Y>\d{4})(?P<M>\d{2})(?P<D>\d{2})[T_]"
+        r"(?P<h>\d{2})(?P<mi>\d{2})(?P<s>\d{2}))(?!\d)",
+        "ymd",
+        tests=[
+            ("20200102T030405 backup done", "2020-01-02 03:04:05", 0, 15),
+            ("20200102_030405 snapshot", "2020-01-02 03:04:05", 0, 15),
+        ],
+    ),
+    Pattern(
+        13, "iso8601_tz_colon",  # RFC3339 with ±hh:mm offset
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{3,6}))?"
+        r"(?P<tz>[+-]\d{2}:\d{2}))",
+        "ymd",
+        tests=[
+            ("2020-01-01T22:00:00-08:00 host app: m", "2020-01-02 06:00:00", 0, 25),
+            ("2020-01-01T22:00:00.500+05:30 x", "2020-01-01 16:30:00.500000", 0, 29),
         ],
     ),
 ]

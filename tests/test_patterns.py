@@ -58,3 +58,22 @@ def test_midline_datetime_not_matched():
     embeds datetimes at offset 0 / after a fixed preamble)."""
     r = parse_series(pd.Series(["note: 2024-01-05T03:04:05 follows"])).iloc[0]
     assert pd.isna(r.pattern_id)
+
+
+def test_malformed_dates_fall_through_not_crash():
+    """Out-of-range components (month 13, Feb 30) must mean 'pattern
+    did not match' — never a batch-killing exception (one bad line in
+    10^12 rows must not fail the job)."""
+    out = parse_series(
+        pd.Series(
+            [
+                "13/02/2020 03:04:05 AM x",
+                "2020-02-30T01:02:03 leapfail",
+                "01/02/2020 03:04:05 PM ok",
+            ]
+        )
+    )
+    assert out.iloc[0]["sink"] == "continuation"
+    assert out.iloc[1]["sink"] == "continuation"
+    assert out.iloc[2]["sink"] == "us_mdy_12h"
+    assert str(out.iloc[2]["ts_parsed"]) == "2020-01-02 15:04:05"
