@@ -117,7 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
-    after, before = resolve_filters(args.dt_after, args.dt_before)
+    try:
+        after, before = resolve_filters(args.dt_after, args.dt_before)
+    except ValueError as ex:
+        ap.error(str(ex))  # friendly one-liner + exit 2, s4-style
 
     from pyspark.sql import functions as F
 
@@ -126,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
     from .operators import stats
     from .session import get_spark
 
-    spark = get_spark(app_name="s4spark-cli")
+    spark = get_spark(
+        app_name="s4spark-cli",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     t = transcripts_df(spark, args.sf_dir)
     merged = P.full_merge(
         t,
