@@ -141,6 +141,13 @@ def q_dt_window_sinks(spark, sf_dir):
     )
 
 
+def q_conv_dominant_pattern(spark, sf_dir):
+    """s4 dt_patterns_analysis: learned per-conv dominant pattern."""
+    return stats.conv_dominant_pattern(
+        P.parse_repair(_t(spark, sf_dir), narrow=True)
+    )
+
+
 # -------------------------------------------- training-data pipeline ops
 
 def q_dedup_exact(spark, sf_dir):
@@ -325,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_summary": q_global_summary,
         "sysline_assembly": q_sysline_assembly,
         "dt_window_sinks": q_dt_window_sinks,
+        "conv_dominant_pattern": q_conv_dominant_pattern,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -410,6 +418,17 @@ FROM asm WHERE msg_turn_idx IS NOT NULL GROUP BY 1, 2""",
         "dt_window_sinks": f"""{b}
 SELECT sink_eff AS sink, CAST(count(*) AS BIGINT) AS rows
 FROM asm WHERE {rng} GROUP BY 1""",
+        "conv_dominant_pattern": f"""{b},
+pc AS (
+  SELECT conv_id, _pattern_id AS pattern_id, count(*) AS matches
+  FROM exp WHERE _pattern_id IS NOT NULL GROUP BY 1, 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+           ORDER BY matches DESC, pattern_id) AS rn
+  FROM pc)
+SELECT conv_id, pattern_id AS dominant_pattern_id,
+       CAST(matches AS BIGINT) AS matches
+FROM rk WHERE rn = 1""",
         **_training_data_oracles(),
     }
 

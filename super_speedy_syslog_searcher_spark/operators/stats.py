@@ -43,6 +43,36 @@ def hourly_histogram(df: DataFrame, ts_col: str = "ts_eff") -> DataFrame:
     )
 
 
+def conv_dominant_pattern(parsed: DataFrame) -> DataFrame:
+    """Per-conversation dominant datetime pattern — s4's blockzero
+    pattern analysis (dt_patterns_analysis, syslinereader.rs:2090-2172):
+    count matches per pattern, keep the argmax, ties broken by the
+    earlier bank index (DT_PATTERN_MAX = 1, :920).
+
+    Two built-in aggregations + a window argmax; at 10^12 rows the
+    groupBy is partial+final so only (convs x patterns) rows shuffle.
+    The result is the per-group "learned schema" a second
+    winner-first parse pass would consume (schema-on-read inference,
+    SURVEY.md §1.3)."""
+    counts = (
+        parsed.filter(F.col("pattern_id").isNotNull())
+        .groupBy("conv_id", F.col("pattern_id").cast("int").alias("pattern_id"))
+        .agg(F.count("*").alias("matches"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("matches").desc(), F.col("pattern_id")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.col("pattern_id").alias("dominant_pattern_id"),
+            F.col("matches").cast("bigint").alias("matches"),
+        )
+    )
+
+
 def conv_summary(parsed: DataFrame) -> DataFrame:
     """Per-conversation summary = s4's per-file Summary struct:
     syslines (dt-bearing turns), total turns, longest line,

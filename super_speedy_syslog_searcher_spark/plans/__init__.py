@@ -34,5 +34,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Count WholeStageCodegen regions — wider is better (fewer
-    interpreter/exchange breaks)."""
-    return explain_str(df).count("WholeStageCodegen")
+    interpreter/exchange breaks).  NOTE: with AQE enabled (our
+    default) codegen is decided per query stage at runtime, so this
+    returns 0 on un-executed adaptive plans; build the DataFrame
+    under spark.sql.adaptive.enabled=false to inspect statically."""
+    import re
+
+    plan = explain_str(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0
