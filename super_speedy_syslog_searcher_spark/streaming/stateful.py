@@ -1,0 +1,103 @@
+"""Stateful streaming sysline assembly: continuation lines attach to
+the last datetime-bearing turn of their conversation *across
+micro-batches* via applyInPandasWithState.
+
+This is the streaming form of operators/assemble.py's window (batch:
+last(ignorenulls) over (conv, turn)); the reference's analogue is the
+per-file accretion loop holding the current Sysline open until the
+next datetime line arrives (src/readers/syslinereader.rs:2842,
+src/data/mod.rs:34-44).  State per conv_id = the open message's
+(anchor turn_idx, anchor ts, sink).
+
+Arrival-order contract: within a conversation, turns must arrive in
+turn_idx order across micro-batches (true for append-only transcript
+logs; the file-stream test feeds batches split on turn ranges).
+
+Scope: equals batch parse+assemble exactly (tests).  The *repair*
+stage (uptime anchoring) is batch-only — it needs a conv-global
+max(ts) that streaming cannot know until the conversation ends; a
+streaming approximation would carry the anchor in this same state
+once first computed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .pipeline import parsed_stream
+
+OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, text string, ts_parsed timestamp, "
+    "sink string, msg_turn_idx int, ts_eff timestamp, sink_eff string"
+)
+STATE_SCHEMA = "anchor_turn int, anchor_ts_us long, anchor_sink string"
+
+
+def _attach(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        anchor_turn, anchor_ts_us, anchor_sink = state.get
+    else:
+        anchor_turn, anchor_ts_us, anchor_sink = None, None, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        msg_turn, ts_eff, sink_eff = [], [], []
+        for turn, ts, sink in zip(
+            pdf["turn_idx"], pdf["ts_parsed"], pdf["sink"]
+        ):
+            if pd.notna(ts):  # new anchor (dt-bearing line)
+                anchor_turn = int(turn)
+                anchor_ts_us = ts.value // 1000
+                anchor_sink = sink
+            msg_turn.append(anchor_turn)
+            ts_eff.append(
+                pd.Timestamp(anchor_ts_us * 1000)
+                if anchor_ts_us is not None
+                else pd.NaT
+            )
+            sink_eff.append(
+                anchor_sink if anchor_sink is not None else "continuation"
+            )
+        out = pdf[["conv_id", "turn_idx", "text", "ts_parsed", "sink"]].copy()
+        out["msg_turn_idx"] = pd.array(msg_turn, dtype="Int32")
+        out["ts_eff"] = pd.Series(ts_eff, index=pdf.index)
+        out["sink_eff"] = sink_eff
+        yield out
+    if anchor_turn is not None:
+        state.update((anchor_turn, anchor_ts_us, anchor_sink))
+
+
+def assembled_stream(stream: DataFrame) -> DataFrame:
+    """parse → per-conv stateful continuation attach."""
+    parsed = parsed_stream(stream).select(
+        "conv_id", "turn_idx", "text", "ts_parsed", "sink"
+    )
+    return parsed.groupBy("conv_id").applyInPandasWithState(
+        _attach,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_assembled_available_now(
+    spark, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    from .pipeline import stream_source
+
+    q = (
+        assembled_stream(stream_source(spark, in_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

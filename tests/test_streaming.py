@@ -66,3 +66,35 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
     )
     want = {(r["hour"], r["sink"]): r["rows"] for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_assembly_equals_batch(spark, tmp_path):
+    """applyInPandasWithState continuation-attach across micro-batches
+    == batch parse+assemble; state survives the batch boundary."""
+    from super_speedy_syslog_searcher_spark.operators.assemble import (
+        assemble_stage,
+    )
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "in3")
+    out_dir = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ck3")
+    t = transcripts_df(spark, SF_SMOKE)
+    cols = ["conv_id", "turn_idx", "msg_turn_idx", "ts_eff", "sink_eff"]
+
+    # two arrival batches split on turn ranges (append-only contract)
+    t.filter("turn_idx < 20").coalesce(1).write.mode("append").parquet(in_dir)
+    stateful.run_assembled_available_now(spark, in_dir, out_dir, ckpt)
+    t.filter("turn_idx >= 20").coalesce(1).write.mode("append").parquet(in_dir)
+    stateful.run_assembled_available_now(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).select(*cols)
+    want = assemble_stage(parse_stage(t, scatter=False)).select(*cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # at least one continuation in batch 2 inherits a batch-1 anchor
+    cross = got.filter(
+        (F.col("turn_idx") >= 20) & (F.col("msg_turn_idx") < 20)
+    ).count()
+    assert cross >= 1
