@@ -58,9 +58,13 @@ def q_parse_extract(spark, sf_dir):
 
 
 def q_merge_ordered(spark, sf_dir):
-    """The flagship: dt-filtered globally ordered merge (§2.7)."""
+    """The flagship: dt-filtered globally ordered merge (§2.7).
+
+    full_merge output is already range-sorted; ordered=True makes
+    with_global_seq attach seq numbers without re-sorting (one sort,
+    one lineage)."""
     merged = P.full_merge(_t(spark, sf_dir), DT_AFTER, DT_BEFORE)
-    return with_global_seq(merged).select(
+    return with_global_seq(merged, ordered=True).select(
         F.col("msg_seq").cast("bigint").alias("msg_seq"),
         "conv_id",
         "turn_idx",

@@ -12,16 +12,24 @@ cannot.
 Total order: (ts_eff, conv_id, turn_idx) — the deterministic analogue
 of s4's (datetime, PathId, fileoffset).
 
-A hot conv_id does NOT skew this shuffle: the range partitioner keys
-on ts_eff first, so a conversation with 20% of all rows spreads over
-every time bucket.  Skew would only appear if many rows shared one
-exact (ts, conv) key; `salt_buckets` adds an explicit turn-derived
-salt to the range key for that case (north_rule's salted
-repartition-by-(ts-bucket, conv_id)).
+Skew handling (north_rule's "salted repartition with explicit skew
+handling for hot conv_ids"): the total-order key is **unique per row**
+(turn_idx is unique within (conv, ts)), so repartitionByRange already
+splits a hot (ts, conv_id) run across partitions along turn_idx range
+boundaries — the range partitioner *is* the salt.  An extra salt
+column appended after a unique key is a no-op (nothing left to split),
+and one prepended before the key would scatter equal-ts rows out of
+order; round 1 shipped the no-op variant and round 2 deleted it.
+tests/test_merge.py::test_hot_key_splits_across_partitions proves the
+pathological case (one conv, one ts, 10^6 rows) balances.
 
-The global sequence number uses the scalable two-phase pattern
-(per-partition row_number + collected partition offsets) instead of a
-single-partition window.
+The global sequence number is one lineage: persist the range-sorted
+result, then seq = broadcast per-partition offset + position inside
+the physical partition (monotonically_increasing_id encodes it) — no
+second sort, no window shuffle, and the count job and the output job
+provably read the same physical partitioning (range boundaries come
+from per-execution reservoir sampling, so *without* the persist two
+executions could disagree and silently duplicate/skip seq values).
 """
 
 from __future__ import annotations
@@ -30,6 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ORDER_KEYS = ["ts_eff", "conv_id", "turn_idx"]
+
+# monotonically_increasing_id() = (partition_id << 33) | row_pos
+_MID_POS_MASK = (1 << 33) - 1
 
 
 def dt_filter(
@@ -52,57 +63,64 @@ def dt_filter(
     return df
 
 
-def merge_ordered(
-    df: DataFrame,
-    num_partitions: int | None = None,
-    salt_buckets: int = 0,
-) -> DataFrame:
+def merge_ordered(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Globally (ts_eff, conv_id, turn_idx)-ordered rows.
 
-    With salt_buckets > 0 the range key gains a turn-derived salt
-    column so a pathological single-(ts,conv) hot key splits across
-    buckets; order is unaffected because the salt follows the total
-    order key.
+    Range-partitioning on the full (unique) key handles hot-key skew
+    by construction: equal-(ts, conv) runs split across partitions on
+    turn_idx boundaries (see module docstring).
     """
     keys = [F.col(k) for k in ORDER_KEYS]
-    if salt_buckets > 0:
-        df = df.withColumn(
-            "_salt", (F.col("turn_idx") % salt_buckets).cast("int")
-        )
-        keys = [F.col("ts_eff"), F.col("conv_id"), F.col("turn_idx"), F.col("_salt")]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    out = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
-    return out.drop("_salt") if salt_buckets > 0 else out
+    return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
 
-def with_global_seq(df: DataFrame, seq_col: str = "msg_seq") -> DataFrame:
+def with_global_seq(
+    df: DataFrame,
+    seq_col: str = "msg_seq",
+    ordered: bool = False,
+    staging: list | None = None,
+) -> DataFrame:
     """Attach a 1-based global sequence number in total order.
 
-    Two-phase: row_number within each range partition, plus the
-    cumulative count of preceding partitions (only #partitions values
-    cross the driver — scale-safe, unlike a global row_number window
-    which funnels every row through one task).
-    """
-    from pyspark.sql import Window
+    Single-lineage two-phase pattern: persist the range-sorted frame
+    (freezes the physical partitioning shared by both jobs), collect
+    one row-count per partition (metadata-sized driver traffic), then
+    seq = broadcast partition offset + row position within the cached
+    partition.  Position comes from monotonically_increasing_id(),
+    whose contract is (partition_id << 33) | row_pos — rows are
+    already sorted within each cached partition, so positions follow
+    the total order.  No second sort, no window shuffle.
 
-    ordered = merge_ordered(df)
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    ordered=True skips the sort when df is already merge_ordered
+    output.  staging (if given) receives the persisted DataFrame so
+    the caller can unpersist after its terminal action.
+
+    Limit: 2^33 rows per partition (8.6 G) — size num_partitions so a
+    partition holds far less, which memory demands anyway.
+    """
+    from pyspark import StorageLevel
+
+    out = df if ordered else merge_ordered(df)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    if staging is not None:
+        staging.append(out)
+    with_pos = out.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_pos", F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_POS_MASK))
+    )
     counts = {
         r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in with_pos.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in ORDER_KEYS])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     return (
-        with_pid.join(F.broadcast(off_df), "_pid")
-        .withColumn(seq_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
+        with_pos.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(seq_col, F.col("_pos") + F.coalesce(F.col("_off"), F.lit(0)) + 1)
+        .drop("_pid", "_pos", "_off")
     )

@@ -57,7 +57,7 @@ def test_tie_break_by_conv_then_turn(spark):
 
 
 def test_partitioning_invariance(spark):
-    """Same total order regardless of partition count / salting."""
+    """Same total order regardless of partition count."""
     base = _pipeline(_mk(spark))
     a = [
         (r["ts_eff"], r["conv_id"], r["turn_idx"])
@@ -65,11 +65,45 @@ def test_partitioning_invariance(spark):
     ]
     b = [
         (r["ts_eff"], r["conv_id"], r["turn_idx"])
-        for r in merge_ordered(base, num_partitions=17, salt_buckets=4).collect()
+        for r in merge_ordered(base, num_partitions=17).collect()
     ]
     assert sorted(a) == sorted(b)
     assert a == sorted(a)
     assert b == sorted(b)
+
+
+def test_hot_key_splits_across_partitions(spark):
+    """Pathological skew: ONE conv, ONE ts_eff, 10^6 rows.  The range
+    partitioner keys on the full unique (ts, conv, turn) tuple, so the
+    run must split across partitions on turn_idx boundaries (balanced),
+    and the global order must still be exact (msg_seq == turn_idx+1 —
+    asserted distributedly, nothing large collected)."""
+    import pyspark.sql.functions as F
+
+    n, parts = 1_000_000, 8
+    df = (
+        spark.range(n)
+        .select(
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts_eff"),
+            F.lit("conv-hot").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+        )
+    )
+    stg: list = []
+    out = with_global_seq(
+        merge_ordered(df, num_partitions=parts), ordered=True, staging=stg
+    )
+    sizes = [
+        r["cnt"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert len(sizes) == parts
+    assert max(sizes) <= 2 * min(sizes)  # balanced despite one hot key
+    assert out.filter(F.col("msg_seq") != F.col("turn_idx") + 1).count() == 0
+    for s in stg:
+        s.unpersist()
 
 
 def test_global_seq_dense(spark):
