@@ -20,10 +20,11 @@ Engine portability rules used throughout:
   * month / weekday names via CASE, never locale-dependent strftime
   * doubles never formatted into strings (cents via floor(x*100+0.5))
 
-Format families (pattern_id = position in the parse bank,
-patterns.py):
+Format families (fam = corpus family index; pattern_id = matching
+parse-bank entry in patterns.py — distinct because several corpus
+families exercise one bank entry, e.g. bare/fractional epoch):
 
-  id  sink              example prefix                              s4 fixture
+  fam sink              example prefix                              s4 fixture
   0   iso8601_tz        2024-01-05T03:04:05 -0800                   ere_datetimes_impl.rs:2317
   1   iso8601_notz      2024-01-05T03:04:05                         ere_datetimes_impl.rs:4146
   2   rfc2822           Fri, 05 Jan 2024 03:04:05 PST               ere_datetimes_impl.rs:3250
@@ -33,17 +34,21 @@ patterns.py):
   6   rh_audit_epoch    type=USER_ACCT msg=audit(1704423845.123:7): ere_datetimes_impl.rs:4661
   7   strace_epoch      1704423845.123456                           ere_datetimes_impl.rs:4680
   8   dmesg_uptime      [12345.123456]                              ere_datetimes_impl.rs:5849
-  9   (continuation)    no datetime — attaches to previous message  src/data/mod.rs:34-44
+  9-30 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
+                        ctime ± year, lowercase months, day-first dates,
+                        named-tz ISO, RFC5424, logcat, apache_error,
+                        12-hour clocks, bracketed ISO, ns fractions
+                        (ere_datetimes_impl.rs:2317-6439 families)
+  99  (continuation)    no datetime — attaches to previous message  src/data/mod.rs:34-44
 
 Skew fixture: conv-00000 receives every 5th event (~20% of rows) —
-the "hot conversation" the merge stage must salt around.
+the "hot conversation" the merge/parse stages must handle explicitly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-N_FAMS = 9  # datetime-bearing families; fam 9 = continuation
 ANCHOR_YEAR = 2024  # year-fill for no-year formats (s4: file mtime year)
 
 SINKS = [
@@ -56,6 +61,48 @@ SINKS = [
     "rh_audit_epoch",
     "strace_epoch",
     "dmesg_uptime",
+]
+
+# Extended corpus families (fam index 9 + position).  Columns:
+# (sink, pattern_id, dt_beg, dt_end, ts_kind) where ts_kind names the
+# by-construction expected timestamp precision:
+#   t0 = second-truncated event time, ms = millisecond-truncated,
+#   us = full microseconds.
+EXT_FAMS = [
+    ("iso_comma_frac", 9, 0, 23, "ms"),
+    ("slash_ymd", 10, 0, 19, "t0"),
+    ("us_mdy_12h", 11, 0, 22, "t0"),
+    ("compact_ymdhms", 12, 0, 15, "t0"),
+    ("iso8601_tz_colon", 13, 0, 25, "t0"),
+    ("epoch_bare", 14, 0, 14, "ms"),
+    ("epoch_bare", 14, 0, 10, "t0"),
+    ("epoch_ms13", 15, 0, 13, "ms"),
+    ("ctime_year", 16, 0, 24, "t0"),
+    ("syslog_lc_month", 17, 0, 15, "t0"),
+    ("dmy_slash", 18, 0, 19, "t0"),
+    ("dmy_dot", 19, 0, 19, "t0"),
+    ("iso_named_tz", 20, 0, 23, "t0"),
+    ("rfc5424_pri", 21, 6, 30, "t0"),
+    ("mon_dy_year", 22, 0, 20, "t0"),
+    ("android_logcat", 23, 0, 18, "ms"),
+    ("apache_error", 24, 1, 25, "t0"),
+    ("win_iso_12h", 25, 0, 22, "t0"),
+    ("epoch_us16", 26, 0, 16, "us"),
+    ("ctime_noyear", 27, 0, 19, "t0"),
+    ("bracketed_iso", 28, 1, 20, "t0"),
+    ("iso8601_notz", 1, 0, 29, "us"),  # 9-digit ns fraction → bank 1
+]
+
+N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
+FAM_CONT = 99  # continuation marker (never a family index)
+
+# full per-fam metadata tables (legacy 0-8 then EXT_FAMS)
+FAM_SINKS = SINKS + [f[0] for f in EXT_FAMS]
+FAM_PIDS = list(range(9)) + [f[1] for f in EXT_FAMS]
+FAM_BEGS = [0, 0, 0, 0, 1, 0, 25, 0, 1] + [f[2] for f in EXT_FAMS]
+FAM_ENDS = [25, 19, 29, 15, 27, 24, 39, 17, None] + [f[3] for f in EXT_FAMS]
+FAM_KINDS = ["t0", "t0", "t0", "t0", "t0", "ms", "ms", "us", "us"] + [
+    f[4] for f in EXT_FAMS
 ]
 
 _MONTHS = [
@@ -148,13 +195,14 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
     cnum = "(CASE WHEN e % 5 = 0 THEN 0 ELSE 1 + CAST(u % 99 AS INT) END)"
     # dominant family per conv + ~10% noise family + ~9% continuations
     fam = (
-        "(CASE WHEN e % 11 = 3 THEN 9 "
-        " WHEN e % 10 = 7 THEN CAST((cnum + 1) % 9 AS INT) "
-        " ELSE CAST(cnum % 9 AS INT) END)"
+        f"(CASE WHEN e % 11 = 3 THEN {FAM_CONT} "
+        f" WHEN e % 10 = 7 THEN CAST((cnum + 1) % {N_FAMS} AS INT) "
+        f" ELSE CAST(cnum % {N_FAMS} AS INT) END)"
     )
-    # numeric-offset tz per conv (families 0/4) and named tz (family 2)
+    # numeric-offset tz per conv (families 0/4/13) and named tz (2/21)
     offmin = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 330 ELSE -660 END)"
     offstr = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+0000' WHEN 1 THEN '-0800' WHEN 2 THEN '+0530' ELSE '-1100' END)"
+    offstr_colon = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+00:00' WHEN 1 THEN '-08:00' WHEN 2 THEN '+05:30' ELSE '-11:00' END)"
     tzname = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 'UTC' WHEN 1 THEN 'PST' WHEN 2 THEN 'IST' ELSE 'CET' END)"
     tznameoff = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 330 ELSE 60 END)"
 
@@ -169,6 +217,26 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
     day_l0 = f"day({d.from_us(l0)})"
     day_l3 = f"day({d.from_us(l3)})"
     day_t0 = "day(" + d.from_us("t0us") + ")"
+
+    t0 = "t0us"
+    sec13 = d.s(d.idiv("eus", "1000"))
+
+    def dp(us: str, part: str) -> str:  # zero-padded 2-digit part
+        return p2(f"{part}({d.from_us(us)})")
+
+    def h12(us: str) -> str:  # 12-hour clock hour, zero-padded
+        return p2(f"((hour({d.from_us(us)}) + 11) % 12 + 1)")
+
+    def ampm(us: str) -> str:
+        return f"(CASE WHEN hour({d.from_us(us)}) < 12 THEN 'AM' ELSE 'PM' END)"
+
+    def time12(us: str) -> str:  # hh:mm:ss AM/PM
+        return (
+            f"{h12(us)} || ':' || {dp(us, 'minute')} || ':' || {dp(us, 'second')}"
+            f" || ' ' || {ampm(us)}"
+        )
+
+    day2sp = f"lpad({day_s(t0)}, 2, ' ')"  # space-padded day (ctime/syslog)
 
     prefixes = {
         0: f"{date_iso(l0)} || 'T' || {time8(l0)} || ' ' || offstr",
@@ -186,6 +254,29 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         6: f"'type=USER_ACCT msg=audit(' || {sec10} || '.' || {ms3} || ':' || {d.s('e')} || '):'",
         7: f"{sec10} || '.' || {frac6}",
         8: f"'[' || {upsec} || '.' || {upfrac} || ']'",
+        # -- round-2 extended families (EXT_FAMS order) -----------------
+        9: f"{date_iso(t0)} || ' ' || {time8(t0)} || ',' || {ms3}",
+        10: f"{year_s(t0)} || '/' || {dp(t0, 'month')} || '/' || {dp(t0, 'day')} || ' ' || {time8(t0)}",
+        11: f"{dp(t0, 'month')} || '/' || {dp(t0, 'day')} || '/' || {year_s(t0)} || ' ' || {time12(t0)}",
+        12: f"{year_s(t0)} || {dp(t0, 'month')} || {dp(t0, 'day')} || 'T' || {dp(t0, 'hour')} || {dp(t0, 'minute')} || {dp(t0, 'second')}",
+        13: f"{date_iso(l0)} || 'T' || {time8(l0)} || offstr_colon",
+        14: f"{sec10} || '.' || {ms3}",
+        15: f"{sec10}",
+        16: f"{sec13}",
+        17: f"{dow(t0)} || ' ' || {mon(t0)} || ' ' || {day2sp} || ' ' || {time8(t0)} || ' ' || {year_s(t0)}",
+        18: f"lower({mon(t0)}) || ' ' || {day2sp} || ' ' || {time8(t0)}",
+        19: f"{dp(t0, 'day')} || '/' || {dp(t0, 'month')} || '/' || {year_s(t0)} || ' ' || {time8(t0)}",
+        20: f"{dp(t0, 'day')} || '.' || {dp(t0, 'month')} || '.' || {year_s(t0)} || ' ' || {time8(t0)}",
+        21: f"{date_iso(l3)} || ' ' || {time8(l3)} || ' ' || tzname",
+        22: f"'<14>1 ' || {date_iso(l0)} || 'T' || {time8(l0)} || offstr",
+        23: f"{mon(t0)} || ' ' || {dp(t0, 'day')} || ' ' || {year_s(t0)} || ' ' || {time8(t0)}",
+        24: f"{dp(t0, 'month')} || '-' || {dp(t0, 'day')} || ' ' || {time8(t0)} || '.' || {ms3}",
+        25: f"'[' || {dow(t0)} || ' ' || {mon(t0)} || ' ' || {dp(t0, 'day')} || ' ' || {time8(t0)} || ' ' || {year_s(t0)} || ']'",
+        26: f"{date_iso(t0)} || ' ' || {time12(t0)}",
+        27: d.s("eus"),
+        28: f"{dow(t0)} || ' ' || {mon(t0)} || ' ' || {day2sp} || ' ' || {time8(t0)}",
+        29: f"'[' || {date_iso(t0)} || ' ' || {time8(t0)} || ']'",
+        30: f"{date_iso(t0)} || 'T' || {time8(t0)} || '.' || {frac6} || '000'",
     }
     prefix_case = "CASE fam " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in prefixes.items()
@@ -199,26 +290,36 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         f" || (CASE WHEN e % 13 = 0 THEN ' \U0001F600\U0001F680' ELSE '' END)"
     )
 
-    # -- expected parse results (by construction) ----------------------
+    # -- expected parse results (by construction, FAM_* tables) --------
     ms_trunc = d.from_us(f"({d.idiv('eus', '1000')} * 1000)")
+    us_fams = ",".join(str(i) for i, k in enumerate(FAM_KINDS) if k == "us")
+    ms_fams = ",".join(str(i) for i, k in enumerate(FAM_KINDS) if k == "ms")
     ts_parsed_exp = (
-        "CASE WHEN fam = 9 THEN NULL "
-        f"WHEN fam = 7 OR fam = 8 THEN {d.from_us('eus')} "
-        f"WHEN fam = 5 OR fam = 6 THEN {ms_trunc} "
+        f"CASE WHEN fam = {FAM_CONT} THEN NULL "
+        f"WHEN fam IN ({us_fams}) THEN {d.from_us('eus')} "
+        f"WHEN fam IN ({ms_fams}) THEN {ms_trunc} "
         f"ELSE {d.from_us('t0us')} END"
     )
+    beg_whens = " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(FAM_BEGS))
     dt_beg_exp = (
-        "CASE WHEN fam = 9 THEN NULL WHEN fam = 4 OR fam = 8 THEN 1 "
-        "WHEN fam = 6 THEN 25 ELSE 0 END"
+        f"CASE WHEN fam = {FAM_CONT} THEN NULL "
+        f"ELSE (CASE fam {beg_whens} END) END"
     )
-    dt_end_exp = (
-        "CASE fam WHEN 0 THEN 25 WHEN 1 THEN 19 WHEN 2 THEN 29 WHEN 3 THEN 15 "
-        "WHEN 4 THEN 27 WHEN 5 THEN 24 WHEN 6 THEN 39 WHEN 7 THEN 17 "
-        f"WHEN 8 THEN 2 + length({upsec}) + 6 ELSE NULL END"
+    end_whens = " ".join(
+        f"WHEN {i} THEN {e}" for i, e in enumerate(FAM_ENDS) if e is not None
+    )
+    dt_end_exp = (  # fam 8's end depends on the uptime digit count
+        f"CASE fam WHEN 8 THEN 2 + length({upsec}) + 6 "
+        f"{end_whens} ELSE NULL END"
     )
     sink_case = "CASE fam " + " ".join(
-        f"WHEN {i} THEN '{s}'" for i, s in enumerate(SINKS)
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(FAM_SINKS)
     ) + " ELSE 'continuation' END"
+    pid_whens = " ".join(f"WHEN {i} THEN {p}" for i, p in enumerate(FAM_PIDS))
+    pattern_id_exp = (
+        f"CASE WHEN fam = {FAM_CONT} THEN NULL "
+        f"ELSE (CASE fam {pid_whens} END) END"
+    )
 
     return f"""
 WITH base AS (
@@ -234,6 +335,7 @@ WITH base AS (
   SELECT *, {cnum} AS cnum FROM base
 ), fam AS (
   SELECT *, {fam} AS fam, {offmin} AS offmin, {offstr} AS offstr,
+         {offstr_colon} AS offstr_colon,
          {tzname} AS tzname, {tznameoff} AS tznameoff
   FROM conv
 ), boot AS (
@@ -256,7 +358,7 @@ SELECT
   ts,
   fam AS _fam,
   ({sink_case}) AS _sink,
-  CAST((CASE WHEN fam = 9 THEN NULL ELSE fam END) AS INT) AS _pattern_id,
+  CAST(({pattern_id_exp}) AS INT) AS _pattern_id,
   CAST(({ts_parsed_exp}) AS TIMESTAMP) AS _ts_parsed,
   CAST(({dt_beg_exp}) AS INT) AS _dt_beg,
   CAST(({dt_end_exp}) AS INT) AS _dt_end

@@ -40,14 +40,27 @@ RESULT_FIELDS = (
 
 
 def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
-    """'+0530' / '-08:00' → signed minutes."""
+    """'+0530' / '-08:00' / 'Z' → signed minutes."""
     tz = tz.str.replace(":", "", regex=False)
+    tz = tz.where(~tz.isin(["Z", "z"]), "+0000")  # RFC3339 Zulu
     sign = np.where(tz.str.slice(0, 1) == "-", -1, 1)
     mins = (
         tz.str.slice(1, 3).astype("int64") * 60
         + tz.str.slice(3, 5).astype("int64")
     )
     return pd.Series(sign * mins, index=tz.index)
+
+
+def _frac_us(frac: pd.Series) -> pd.Series:
+    """1-9 captured fraction digits → integer microseconds (pad right
+    to 6, truncate past 6 — chrono %f parity, ere_datetimes_impl.rs:
+    520-525; Spark timestamps are µs so ns digits truncate)."""
+    return (
+        frac.fillna("")
+        .str.slice(0, 6)
+        .str.pad(6, side="right", fillchar="0")
+        .astype("int64")
+    )
 
 
 MONTH_NUM = {k: int(v) for k, v in MONTHS.items()}
@@ -66,15 +79,22 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         return pd.Series(pd.NaT, index=g.index, dtype="datetime64[ns]"), up
 
     if p.kind == "epoch":
-        sec = g["es"].astype("int64")
-        frac = g["f"]
-        scale = 10 ** (6 - frac.str.len().astype("int64"))
-        us = sec * 1_000_000 + frac.astype("int64") * scale
+        frac_us = _frac_us(g["f"]) if "f" in g.columns else 0
+        us = g["es"].astype("int64") * 1_000_000 + frac_us
+        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
+
+    if p.kind == "epoch_ms":
+        us = g["ems"].astype("int64") * 1_000
+        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
+
+    if p.kind == "epoch_us":
+        us = g["eu"].astype("int64")
         return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
 
     # ymd / mon_name / mdy12
     if p.kind == "mon_name":
-        month = g["b"].map(MONTH_NUM)
+        # capitalize folds 'jan'/'JAN' (pattern 17) onto the map
+        month = g["b"].str.capitalize().map(MONTH_NUM)
     else:
         month = g["M"].astype("int64")
     if p.kind == "mdy12":  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
@@ -106,7 +126,7 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         frac = g["f"]
         has = frac.notna()
         if has.any():
-            us = frac[has].str.pad(6, side="right", fillchar="0").astype("int64")
+            us = _frac_us(frac[has])
             ts = ts.copy()
             ts[has] = ts[has] + pd.to_timedelta(us, unit="us")
     # tz → UTC (named map or ±hhmm), else assume UTC
@@ -135,7 +155,9 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     from ..patterns import MONTHS as _M, TZ_OFFSET_MIN as _T  # noqa: F401
 
     dows = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
+    mons_ci = {m.lower() for m in MONTHS} | {m.upper() for m in MONTHS}
     first2_digit = prefix.str.slice(0, 2).str.isdigit().fillna(False)
+    dow_sp = first3.isin(dows) & (prefix.str.slice(3, 4) == " ")
     return {
         0: iso,
         1: iso,
@@ -154,17 +176,45 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         11: first2_digit & (prefix.str.slice(2, 3) == "/"),
         12: prefix.str.slice(0, 8).str.isdigit().fillna(False),
         13: iso,
+        14: digit0 & ~iso,
+        15: prefix.str.slice(0, 13).str.isdigit().fillna(False),
+        16: dow_sp,
+        17: first3.isin(mons_ci) & (prefix.str.slice(3, 4) == " "),
+        18: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        19: first2_digit & (prefix.str.slice(2, 3) == "."),
+        20: iso,
+        21: c0 == "<",
+        22: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
+        23: first2_digit & (prefix.str.slice(2, 3) == "-"),
+        24: bracket,
+        25: iso,
+        26: prefix.str.slice(0, 16).str.isdigit().fillna(False),
+        27: dow_sp,
+        28: bracket,
     }
 
 
+PATTERN_BY_ID = {p.pid: p for p in PATTERNS}
+
+
 def parse_series(
-    texts: pd.Series, anchor_year: int = ANCHOR_YEAR_DEFAULT
+    texts: pd.Series,
+    anchor_year: int = ANCHOR_YEAR_DEFAULT,
+    winner_pids: pd.Series | None = None,
 ) -> pd.DataFrame:
     """text → (ts_parsed, pattern_id, sink, dt_beg, dt_end, uptime_us).
 
     Rows matching no pattern are continuation lines
     (src/data/mod.rs:34-44): null ts, null pattern_id,
     sink='continuation'.
+
+    winner_pids (optional, index-aligned, NaN = unknown) is the frozen
+    per-source dominant pattern: those rows try their winner FIRST and
+    skip the bank walk on a hit — s4's learned single-DTPD fast path
+    (syslinereader.rs:920, dt_patterns freeze at :2090-2172).  Bank
+    entries are constructed pairwise-disjoint (lookaheads on the
+    catch-all families), so winner-first output equals strict
+    bank-order output; misses fall through to the normal walk.
     """
     idx = texts.index
     out = pd.DataFrame(
@@ -181,16 +231,14 @@ def parse_series(
     # EZCHECKD2: every bank entry needs two consecutive digits
     remaining = prefix.str.contains(r"\d\d", regex=True, na=False)
     masks = _dispatch_masks(prefix)
-    for p in PATTERNS:
-        if not remaining.any():
-            break
-        cand = remaining & masks[p.pid]
+
+    def try_pattern(p, cand: pd.Series) -> None:
         if not cand.any():
-            continue
+            return
         ext = prefix[cand].str.extract(p.regex)
         hit = ext["dt"].notna()
         if not hit.any():
-            continue
+            return
         g = ext[hit]
         ts, up = _canonicalize(p, g, anchor_year)
         if up is None:
@@ -199,7 +247,7 @@ def parse_series(
                 g = g[valid]     # row falls through to later patterns
                 ts = ts[valid]
                 if g.empty:
-                    continue
+                    return
         midx = g.index
         out.loc[midx, "ts_parsed"] = ts
         out.loc[midx, "pattern_id"] = np.int32(p.pid)
@@ -214,21 +262,46 @@ def parse_series(
         if up is not None:
             out.loc[midx, "uptime_us"] = up
         remaining.loc[midx] = False
+
+    if winner_pids is not None:
+        for w in pd.unique(winner_pids.dropna()):
+            p = PATTERN_BY_ID.get(int(w))
+            if p is not None:
+                try_pattern(p, remaining & (winner_pids == w) & masks[p.pid])
+    for p in PATTERNS:
+        if not remaining.any():
+            break
+        try_pattern(p, remaining & masks[p.pid])
     return out
 
 
-def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT):
+def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, winners_bc=None):
     """Arrow-batched pandas UDF over the text column.
 
     The JVM ships Arrow batches to a long-lived Python worker — the
     same architecture the reference uses for its child-Python readers
     (src/readers/pyeventreader.rs:629, src/python/pyrunner.rs:653),
     but vectorized instead of line-protocol-per-record.
+
+    winners_bc: optional SparkContext broadcast of {conv_id:
+    pattern_id}; presence switches the UDF to (conv_id, text) input
+    and enables the winner-first fast path.
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(RESULT_FIELDS)
-    def parse_text(texts: pd.Series) -> pd.DataFrame:
-        return parse_series(texts, anchor_year=anchor_year)
+    if winners_bc is None:
 
-    return parse_text
+        @pandas_udf(RESULT_FIELDS)
+        def parse_text(texts: pd.Series) -> pd.DataFrame:
+            return parse_series(texts, anchor_year=anchor_year)
+
+        return parse_text
+
+    @pandas_udf(RESULT_FIELDS)
+    def parse_text_frozen(convs: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        winners = convs.map(winners_bc.value)
+        return parse_series(
+            texts, anchor_year=anchor_year, winner_pids=winners
+        )
+
+    return parse_text_frozen

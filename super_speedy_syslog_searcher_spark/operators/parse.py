@@ -16,11 +16,49 @@ from ..patterns import ANCHOR_YEAR_DEFAULT
 PARSE_COLS = ["ts_parsed", "pattern_id", "sink", "dt_beg", "dt_end", "uptime_us"]
 
 
+def learn_winners(
+    df: DataFrame,
+    anchor_year: int = ANCHOR_YEAR_DEFAULT,
+    sample_turns: int = 32,
+) -> dict[str, int]:
+    """Per-conv dominant pattern from a bounded head sample — s4's
+    blockzero analysis that freezes one DTPD per file
+    (src/readers/syslinereader.rs:920, syslogprocessor.rs blockzero).
+
+    Samples turn_idx < sample_turns (the 'block zero'), parses with
+    the full bank, and keeps each conv's most-frequent pattern id
+    (ties → lowest id, matching conv_dominant_pattern).  The returned
+    dict broadcasts into the parse UDF.  At 10^9+ conversations the
+    same winners frame joins in as a broadcast/bucketed dim instead of
+    a collected dict; conv counts here are bounded (#convs ≪ #rows).
+    """
+    from pyspark.sql import Window
+
+    sample = df.filter(F.col("turn_idx") < sample_turns)
+    parsed = parse_stage(sample, anchor_year=anchor_year, winners=None)
+    counts = (
+        parsed.filter(F.col("pattern_id").isNotNull())
+        .groupBy("conv_id", "pattern_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("n"), F.asc("pattern_id")
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return {
+        r["conv_id"]: int(r["pattern_id"])
+        for r in top.select("conv_id", "pattern_id").collect()
+    }
+
+
 def parse_stage(
     df: DataFrame,
     text_col: str = "text",
     anchor_year: int = ANCHOR_YEAR_DEFAULT,
     scatter: bool = True,
+    winners: dict[str, int] | None = None,
 ) -> DataFrame:
     """transcripts → transcripts + (ts_parsed, pattern_id, sink,
     dt_beg, dt_end, uptime_us).
@@ -42,6 +80,11 @@ def parse_stage(
     if scatter:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
-    udf = make_parse_udf(anchor_year)
-    parsed = df.withColumn("_p", udf(F.col(text_col)))
+    if winners:
+        bc = df.sparkSession.sparkContext.broadcast(winners)
+        udf = make_parse_udf(anchor_year, winners_bc=bc)
+        parsed = df.withColumn("_p", udf(F.col("conv_id"), F.col(text_col)))
+    else:
+        udf = make_parse_udf(anchor_year)
+        parsed = df.withColumn("_p", udf(F.col(text_col)))
     return parsed.select("*", *[f"_p.{c}" for c in PARSE_COLS]).drop("_p")

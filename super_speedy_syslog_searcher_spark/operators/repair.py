@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..patterns import PATTERNS
+
 ROLLOVER_HOURS = 25  # syslogprocessor.rs:213
+
+# every bank family parsed with the anchor year (derived, not listed,
+# so new noyear families are repaired automatically)
+NOYEAR_PATTERN_IDS = tuple(p.pid for p in PATTERNS if p.noyear)
 
 
 def anchor_uptime(df: DataFrame) -> DataFrame:
@@ -45,7 +51,7 @@ def anchor_uptime(df: DataFrame) -> DataFrame:
 
 
 def repair_noyear_rollover(
-    df: DataFrame, noyear_pattern_ids: tuple = (3,)
+    df: DataFrame, noyear_pattern_ids: tuple = NOYEAR_PATTERN_IDS
 ) -> DataFrame:
     """Subtract k years where k = # of >25h-backwards jumps after the
     row among the conv's no-year rows (all such rows were parsed with

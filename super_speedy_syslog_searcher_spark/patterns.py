@@ -31,20 +31,44 @@ MONTHS = {
 }
 
 # named-tz → offset minutes (s4: tz alternation in patterns,
-# ere_datetimes_impl.rs:589; mapping applied in captures_to_buffer_bytes)
+# ere_datetimes_impl.rs:589; mapping applied in captures_to_buffer_bytes).
+# Round 2 extends the table toward the reference's full alternation:
+# the complete Western set plus the common APAC/African abbreviations.
+# Ambiguous names (CST, IST, AST…) take the most common reading, the
+# same pragmatic choice the reference makes.
 TZ_OFFSET_MIN = {
-    "UTC": 0, "GMT": 0, "UT": 0, "Z": 0,
+    "UTC": 0, "GMT": 0, "UT": 0, "Z": 0, "WET": 0,
     "PST": -480, "PDT": -420,
     "MST": -420, "MDT": -360,
     "CST": -360, "CDT": -300,
     "EST": -300, "EDT": -240,
-    "CET": 60, "CEST": 120,
-    "IST": 330, "JST": 540, "AEST": 600,
+    "AKST": -540, "AKDT": -480,
+    "HST": -600, "HDT": -540,
+    "AST": -240, "ADT": -180,
+    "NST": -210, "NDT": -150,
+    "BRT": -180, "ART": -180, "CLT": -240, "COT": -300, "PET": -300,
+    "CET": 60, "CEST": 120, "BST": 60, "WEST": 60, "WAT": 60,
+    "EET": 120, "EEST": 180, "SAST": 120, "CAT": 120,
+    "MSK": 180, "EAT": 180,
+    "IST": 330, "PKT": 300,
+    "WIB": 420,
+    "HKT": 480, "SGT": 480, "AWST": 480,
+    "JST": 540, "KST": 540,
+    "ACST": 570, "ACDT": 630,
+    "AEST": 600, "AEDT": 660,
+    "NZST": 720, "NZDT": 780,
 }
 
 _MON_ALT = "|".join(MONTHS)
 _DOW_ALT = "Mon|Tue|Wed|Thu|Fri|Sat|Sun"
 _TZN_ALT = "|".join(sorted(TZ_OFFSET_MIN, key=len, reverse=True))
+# lowercase/UPPERCASE month spellings ONLY — exact Title-case is
+# pattern 3's; keeping 17 disjoint from 3 makes the winner-first
+# frozen parse (s4's per-file DTPD freeze, syslinereader.rs:920)
+# output-identical to strict bank order.
+_MON_CI_ALT = "|".join(
+    [m.lower() for m in MONTHS] + [m.upper() for m in MONTHS]
+)
 
 
 @dataclass
@@ -75,7 +99,7 @@ PATTERNS: list[Pattern] = [
     Pattern(
         0, "iso8601_tz",
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
-        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{3,6}))?"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
         r" ?(?P<tz>[+-]\d{4}))",
         "ymd",
         tests=[
@@ -86,13 +110,20 @@ PATTERNS: list[Pattern] = [
     ),
     Pattern(
         1, "iso8601_notz",
+        # frac 1-9 digits (%f parity, ere_datetimes_impl.rs:520-525);
+        # the trailing lookaheads keep this catch-all disjoint from
+        # space-separated numeric-tz (0), AM/PM 12-hour (25) and
+        # named-tz (20) lines, so the frozen winner-first parse is
+        # equivalent to strict bank order.
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
-        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{3,6}))?)"
-        r"(?![.\d+,-])",
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
+        rf"(?![.\d+,-])(?! ?[+-]\d{{4}})(?! [AP]M\b)(?! (?:{_TZN_ALT})\b)",
         "ymd",
         tests=[
             ("2020-01-02T03:04:05 rest", "2020-01-02 03:04:05", 0, 19),
             ("2020-01-02 03:04:05.123456 x", "2020-01-02 03:04:05.123456", 0, 26),
+            ("2020-01-02T03:04:05.123456789 ns", "2020-01-02 03:04:05.123456", 0, 29),
+            ("2020-01-02T03:04:05.1 short", "2020-01-02 03:04:05.100000", 0, 21),
         ],
     ),
     Pattern(
@@ -187,12 +218,13 @@ PATTERNS: list[Pattern] = [
         ],
     ),
     Pattern(
-        10, "slash_ymd",  # nginx-error style YYYY/MM/DD
+        10, "slash_ymd",  # nginx-error style YYYY/MM/DD (+opt frac)
         r"^(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
-        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))",
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)",
         "ymd",
         tests=[
             ("2020/01/02 03:04:05 [error] 1#1", "2020-01-02 03:04:05", 0, 19),
+            ("2020/01/02 03:04:05.500 squid", "2020-01-02 03:04:05.500000", 0, 23),
         ],
     ),
     Pattern(
@@ -219,12 +251,168 @@ PATTERNS: list[Pattern] = [
     Pattern(
         13, "iso8601_tz_colon",  # RFC3339 with ±hh:mm offset
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
-        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{3,6}))?"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
         r"(?P<tz>[+-]\d{2}:\d{2}))",
         "ymd",
         tests=[
             ("2020-01-01T22:00:00-08:00 host app: m", "2020-01-02 06:00:00", 0, 25),
             ("2020-01-01T22:00:00.500+05:30 x", "2020-01-01 16:30:00.500000", 0, 29),
+        ],
+    ),
+    # ---- round-2 families (ids stable, append-only) ----------------
+    Pattern(
+        14, "epoch_bare",
+        # bare epoch seconds, frac 0-5 or 7-9 digits; exactly-6 is
+        # pattern 7's (strace) — excluding it keeps the two disjoint
+        # so the frozen winner-first pass is order-equivalent.
+        # s4: squid/plain-epoch DTPDs, ere_datetimes_impl.rs:4661-4739.
+        r"^(?P<dt>(?P<es>\d{9,11})(?:\.(?P<f>\d{7,9}|\d{1,5}))?)(?![\d.])",
+        "epoch",
+        tests=[
+            ("1704112402.016 TCP_MISS/200", "2024-01-01 12:33:22.016000", 0, 14),
+            ("1704112402 bare-epoch msg", "2024-01-01 12:33:22", 0, 10),
+            ("1681160194.2601234 x", "2023-04-10 20:56:34.260123", 0, 18),
+        ],
+    ),
+    Pattern(
+        15, "epoch_ms13",  # 13-digit epoch milliseconds
+        r"^(?P<dt>(?P<ems>\d{13}))(?!\d)",
+        "epoch_ms",
+        tests=[
+            ("1704112402016 GET /index", "2024-01-01 12:33:22.016000", 0, 13),
+        ],
+    ),
+    Pattern(
+        16, "ctime_year",  # asctime(3): Mon Jan  2 15:04:05 2006
+        rf"^(?P<dt>(?:{_DOW_ALT}) (?P<b>{_MON_ALT}) (?P<D>[ \d]\d) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) (?P<Y>\d{{4}}))\b",
+        "mon_name",
+        tests=[
+            ("Fri Jan  5 03:04:05 2024 kernel: up", "2024-01-05 03:04:05", 0, 24),
+        ],
+    ),
+    Pattern(
+        17, "syslog_lc_month",  # case-insensitive month (non-Title only)
+        rf"^(?P<dt>(?P<b>{_MON_CI_ALT}) (?P<D>[ \d]\d) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))(?! \d{{4}})",
+        "mon_name",
+        noyear=True,
+        tests=[
+            ("jan  5 03:04:05 host app: m", "2024-01-05 03:04:05", 0, 15),
+            ("DEC 31 23:59:59 host x", "2024-12-31 23:59:59", 0, 15),
+        ],
+    ),
+    Pattern(
+        18, "dmy_slash",  # European day-first DD/MM/YYYY
+        r"^(?P<dt>(?P<D>\d{2})/(?P<M>\d{2})/(?P<Y>\d{4}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))(?! [AP]M\b)",
+        "ymd",
+        tests=[
+            ("05/01/2024 03:04:05 info", "2024-01-05 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        19, "dmy_dot",  # German-style DD.MM.YYYY
+        r"^(?P<dt>(?P<D>\d{2})\.(?P<M>\d{2})\.(?P<Y>\d{4}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))",
+        "ymd",
+        tests=[
+            ("05.01.2024 03:04:05 fein", "2024-01-05 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        20, "iso_named_tz",  # YYYY-MM-DD HH:MM:SS TZNAME
+        rf"^(?P<dt>(?P<Y>\d{{4}})-(?P<M>\d{{2}})-(?P<D>\d{{2}})[T ]"
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}})(?:\.(?P<f>\d{{1,9}}))?"
+        rf" (?P<tzn>{_TZN_ALT}))\b",
+        "ymd",
+        tests=[
+            ("2024-01-05 03:04:05 PST event", "2024-01-05 11:04:05", 0, 23),
+            ("2024-01-05 03:04:05.123 IST x", "2024-01-04 21:34:05.123000", 0, 27),
+        ],
+    ),
+    Pattern(
+        21, "rfc5424_pri",  # syslog protocol: <pri>ver ISO±tz|Z
+        r"^(?P<pre><\d{1,3}>\d{0,2} )"
+        r"(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})T"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r"(?P<tz>Z|[+-]\d{2}:?\d{2}))",
+        "ymd",
+        dt_beg=None,
+        tests=[
+            ("<14>1 2024-01-05T03:04:05+05:30 host app - - - m", "2024-01-04 21:34:05", 6, 31),
+            ("<165>1 2003-10-11T22:14:15.003Z mymachine", "2003-10-11 22:14:15.003000", 7, 31),
+        ],
+    ),
+    Pattern(
+        22, "mon_dy_year",  # Jan 02 2024 03:04:05
+        rf"^(?P<dt>(?P<b>{_MON_ALT}) (?P<D>[ \d]\d) (?P<Y>\d{{4}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))",
+        "mon_name",
+        tests=[
+            ("Jan 05 2024 03:04:05 server x", "2024-01-05 03:04:05", 0, 20),
+        ],
+    ),
+    Pattern(
+        23, "android_logcat",  # MM-DD HH:MM:SS(.fff) — no year
+        r"^(?P<dt>(?P<M>\d{2})-(?P<D>\d{2}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)",
+        "ymd",
+        noyear=True,
+        tests=[
+            ("01-05 03:04:05.123 1234 5678 I tag: m", "2024-01-05 03:04:05.123000", 0, 18),
+            ("12-31 23:59:59 x", "2024-12-31 23:59:59", 0, 14),
+        ],
+    ),
+    Pattern(
+        24, "apache_error",  # [Dow Mon DD HH:MM:SS(.ffffff) YYYY]
+        rf"^(?P<pre>\[)(?P<dt>(?:{_DOW_ALT}) (?P<b>{_MON_ALT}) (?P<D>\d{{2}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}})(?:\.(?P<f>\d{{1,9}}))?"
+        rf" (?P<Y>\d{{4}}))\]",
+        "mon_name",
+        dt_beg=None,
+        tests=[
+            ("[Fri Jan 05 03:04:05.123456 2024] [core:notice] x", "2024-01-05 03:04:05.123456", 1, 32),
+            ("[Fri Jan 05 03:04:05 2024] [mpm] y", "2024-01-05 03:04:05", 1, 25),
+        ],
+    ),
+    Pattern(
+        25, "win_iso_12h",  # YYYY-MM-DD hh:mm:ss AM/PM
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2}) "
+        r"(?P<h12>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}) (?P<ampm>AM|PM))\b",
+        "mdy12",
+        tests=[
+            ("2024-01-05 03:04:05 PM event", "2024-01-05 15:04:05", 0, 22),
+            ("2024-01-05 12:04:05 AM event", "2024-01-05 00:04:05", 0, 22),
+        ],
+    ),
+    Pattern(
+        26, "epoch_us16",  # 16-digit epoch microseconds
+        r"^(?P<dt>(?P<eu>\d{16}))(?!\d)",
+        "epoch_us",
+        tests=[
+            ("1704112402016549 syscall enter", "2024-01-01 12:33:22.016549", 0, 16),
+        ],
+    ),
+    Pattern(
+        27, "ctime_noyear",  # Mon Jan  2 15:04:05 (no trailing year)
+        rf"^(?P<dt>(?:{_DOW_ALT}) (?P<b>{_MON_ALT}) (?P<D>[ \d]\d) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))(?! \d{{4}})",
+        "mon_name",
+        noyear=True,
+        tests=[
+            ("Fri Jan  5 03:04:05 host x", "2024-01-05 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        28, "bracketed_iso",  # [YYYY-MM-DD HH:MM:SS(.f)]
+        r"^(?P<pre>\[)(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)\]",
+        "ymd",
+        dt_beg=None,
+        tests=[
+            ("[2024-01-05 03:04:05] INFO x", "2024-01-05 03:04:05", 1, 20),
+            ("[2024-01-05T03:04:05.123] DEBUG", "2024-01-05 03:04:05.123000", 1, 24),
         ],
     ),
 ]

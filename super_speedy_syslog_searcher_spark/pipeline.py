@@ -14,18 +14,29 @@ from pyspark.sql import functions as F
 from .operators.assemble import assemble_stage
 from .operators.enrich import enrich_stage
 from .operators.merge import dt_filter, merge_ordered
-from .operators.parse import parse_stage
+from .operators.parse import learn_winners, parse_stage
 from .operators.repair import repair_stage
 
 
 def parse_repair(
-    df: DataFrame, anchor_year: int = 2024, narrow: bool = False
+    df: DataFrame,
+    anchor_year: int = 2024,
+    narrow: bool = False,
+    freeze: bool = True,
 ) -> DataFrame:
     """narrow=True drops the text payload right after the parse UDF
     (keeping text_len for the summary stats) so the window/shuffle
     stages move ~30% of the bytes; full_merge joins text back by the
-    (conv_id, turn_idx) key just before the final ordered output."""
-    p = parse_stage(df, anchor_year=anchor_year)
+    (conv_id, turn_idx) key just before the final ordered output.
+
+    freeze=True runs s4's sample-then-freeze fast path
+    (syslinereader.rs:920): a bounded head sample learns each conv's
+    dominant pattern, which the main parse then tries first — ~1
+    winner regex per row instead of a masked bank walk.  Bank
+    disjointness makes the output identical either way (differentially
+    verified); freeze=False skips the extra sampling job."""
+    winners = learn_winners(df, anchor_year=anchor_year) if freeze else None
+    p = parse_stage(df, anchor_year=anchor_year, winners=winners)
     if narrow:
         p = p.withColumn("text_len", F.length("text").cast("int")).drop(
             "text"

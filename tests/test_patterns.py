@@ -77,3 +77,37 @@ def test_malformed_dates_fall_through_not_crash():
     assert out.iloc[1]["sink"] == "continuation"
     assert out.iloc[2]["sink"] == "us_mdy_12h"
     assert str(out.iloc[2]["ts_parsed"]) == "2020-01-02 15:04:05"
+
+
+def test_winner_first_equals_bank_order():
+    """The frozen fast path (winner tried before the bank walk,
+    syslinereader.rs:920) must be output-identical to strict bank
+    order — guaranteed by pairwise-disjoint bank entries.  Exercises
+    the aliasing-prone pairs: epoch frac widths (7 vs 14), tz vs no-tz
+    ISO (0/13/20/25 vs 1), case-folded months (3 vs 17)."""
+    texts = pd.Series(
+        [
+            "1704112402.016549 strace 6-frac",        # pattern 7
+            "1704112402.016 squid 3-frac",             # pattern 14
+            "1704112402 bare",                         # pattern 14
+            "2024-01-05T03:04:05 -0800 numeric tz",    # pattern 0
+            "2024-01-05T03:04:05 plain",               # pattern 1
+            "2024-01-05 03:04:05 PST named tz",        # pattern 20
+            "2024-01-05 03:04:05 PM 12-hour",          # pattern 25
+            "Jan  5 03:04:05 exact-case syslog",       # pattern 3
+            "jan  5 03:04:05 lowercase syslog",        # pattern 17
+            "Fri Jan  5 03:04:05 2024 ctime+year",     # pattern 16
+            "Fri Jan  5 03:04:05 ctime noyear",        # pattern 27
+            "  at continuation frame 12",              # none
+        ]
+    )
+    base = parse_series(texts)
+    # freeze EVERY pattern id in turn onto every row: no winner may
+    # steal a row that bank order assigns to another pattern
+    from super_speedy_syslog_searcher_spark.patterns import PATTERNS as _PB
+
+    for p in _PB:
+        frozen = parse_series(
+            texts, winner_pids=pd.Series([p.pid] * len(texts))
+        )
+        pd.testing.assert_frame_equal(base, frozen)
