@@ -183,6 +183,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_verified(spark, sf_dir):
+    """Scale path: LSH band candidates → exact Jaccard verify (no
+    shingle×shingle join anywhere in the plan)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_verified_pairs(docs).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "jaccard",
+    )
+
+
 def q_simhash(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -340,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -501,6 +514,30 @@ j AS (
   JOIN sz sb ON doc_b = sb.doc_id)
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
 FROM j WHERE jaccard >= 0.2""",
+        "dedup_lsh_verified": f"""WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_sig} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+  FROM shared
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
+FROM j WHERE jaccard >= 0.2""",
         "simhash": f"""WITH
 tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
 hh AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),
@@ -529,16 +566,19 @@ SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5""",
         "ann_ivf_topk": f"""WITH {_ANN_NORM_CTE},
-bkt AS (SELECT vec_id, embedding, nrm,
-  list_position(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS bucket
-  FROM n),
-pb AS (SELECT b.vec_id AS probe_id, b.embedding AS pv, b.nrm AS pn, b.bucket AS pbucket
-       FROM bkt b WHERE b.vec_id < 10),
-s AS (SELECT probe_id, n.vec_id AS nbr_id,
-        round(list_sum(list_transform(list_zip(pv, n.embedding),
-              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (pn * n.nrm), 4) AS cosine
-      FROM pb, bkt n WHERE n.bucket = pbucket AND n.vec_id <> probe_id),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
+        list_sum(list_transform(list_zip(n.embedding, sd.sv),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore
+       FROM n CROSS JOIN sd),
+rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, seed_id) AS rn FROM sc),
+bkt AS (SELECT vec_id, embedding, nrm, seed_id AS bucket FROM rk WHERE rn = 1),
+pe AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pn, seed_id AS qbucket
+       FROM rk WHERE vec_id < 10 AND rn <= 3),
+s AS (SELECT probe_id, b.vec_id AS nbr_id,
+        round(list_sum(list_transform(list_zip(pv, b.embedding),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (pn * b.nrm), 4) AS cosine
+      FROM pe JOIN bkt b ON b.bucket = qbucket AND b.vec_id <> probe_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rank FROM s)
 SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        cosine, CAST(rank AS INT) AS rank

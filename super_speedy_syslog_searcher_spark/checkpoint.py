@@ -3,8 +3,13 @@
 and metrics so a killed run resumes without reprocessing").
 
 Protocol (write-then-record, idempotent):
- 1. split the input by a partition key (default: event date — the
-    analogue of the Iceberg days(ts) partition)
+ 1. split the input by a partition key.  The key is a conv_id hash
+    bucket (the analogue of an Iceberg bucket(conv_id) partition), NOT
+    the event date: sysline assembly is a per-conversation window, so
+    a conv-complete bucket assembles correctly in isolation, whereas a
+    date split would cut conversations at midnight and orphan the
+    first continuation lines of each day (their anchor lives in the
+    previous day's partition).
  2. for each partition not yet recorded DONE: overwrite its output
     subdirectory, then atomically record a manifest entry with
     lineage (run_id) and metrics (rows_parsed, per-sink counts)
@@ -62,19 +67,26 @@ def _record(out_dir: str, rec: dict) -> None:
     os.replace(tmp, path)  # atomic commit of the manifest entry
 
 
+N_BUCKETS = 8
+
+
 def run_partitioned(
     df: DataFrame,
     out_dir: str,
     run_id: str | None = None,
     max_partitions: int | None = None,
+    n_buckets: int = N_BUCKETS,
 ) -> list[str]:
-    """Parse+assemble each date partition to parquet, checkpointed.
+    """Parse+assemble each conv-bucket partition to parquet,
+    checkpointed.  Buckets are conv-complete (pmod(xxhash64(conv_id))),
+    so per-bucket assembly equals the single-shot run value-for-value
+    — a date split would not (conversations span midnight).
 
     max_partitions simulates a kill after k partitions (tests).
     Returns the partition keys processed in this call.
     """
     run_id = run_id or uuid.uuid4().hex
-    key = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    key = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     todo = [
         k
         for k in partition_keys(df, key)
@@ -84,9 +96,9 @@ def run_partitioned(
         todo = todo[:max_partitions]
     processed = []
     for k in todo:
-        part = df.filter(key == k)
+        part = df.filter(key == int(k))
         result = P.assembled(part)
-        out_path = os.path.join(out_dir, f"day={k}")
+        out_path = os.path.join(out_dir, f"bucket={k}")
         result.write.mode("overwrite").parquet(out_path)  # idempotent
         sink_counts = {
             r["sink_eff"]: r["cnt"]

@@ -10,8 +10,16 @@ prepended timestamp/source columns, per-source summary to stderr.
 The filter grammar implements the core of s4's 95 accepted forms
 (src/s4/s4.rs:552-559, 3537 string_to_rel_offset_datetime, 3614
 process_dt): ISO datetime/date (with optional fractional seconds and
-±hhmm offset), relative offsets like ``-1w2d3h`` against now, and
-``@±off`` anchored at the *other* bound.
+±hhmm / ±hh:mm offset, Z, or a named timezone), compact
+``YYYYMMDD[Thhmmss]`` / underscore ``YYYYMMDD_hhmmss`` forms, epoch
+seconds (``1704112402`` or ``+1704112402``, s4's ``+%s``), relative
+offsets like ``-1w2d3h`` against now, and ``@±off`` anchored at the
+*other* bound.
+
+Prepend parity (README.md:746-748, s4.rs:6282-6299): ``-u`` UTC
+stamp, ``-z TZ`` arbitrary-offset/named-tz stamp, ``-l`` source
+(conv) prefix, ``-w`` width-aligns the source column, ``--separator``
+decodes backslash escapes (``\\t``, ``\\x00``, …).
 """
 
 from __future__ import annotations
@@ -30,8 +38,55 @@ _UNITS = {
 _ISO = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})"
     r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?)?"
-    r"\s*(Z|[+-]\d{4})?$"
+    r"\s*(Z|[+-]\d{2}:?\d{2}|[A-Z]{1,5})?$"
 )
+_COMPACT = re.compile(
+    r"^(\d{4})(\d{2})(\d{2})(?:[T_](\d{2})(\d{2})(\d{2}))?$"
+)
+_EPOCH = re.compile(r"^\+?(\d{9,11})$")  # s4's +%s epoch-seconds form
+
+_SEP_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "0": "\0",
+    "a": "\a", "v": "\v", "e": "\x1b", "\\": "\\",
+}
+
+
+def decode_separator(s: str) -> str:
+    """--separator escape decoding (README.md:746-748): \\t \\n \\r
+    \\0 \\a \\v \\e \\\\ and \\xNN byte escapes."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "x" and i + 3 < len(s):
+                try:
+                    out.append(chr(int(s[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            if n in _SEP_ESCAPES:
+                out.append(_SEP_ESCAPES[n])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def tz_offset_minutes(z: str) -> int:
+    """-z value → signed offset minutes: ±hhmm, ±hh:mm, or a named
+    timezone from the pattern bank's table (patterns.TZ_OFFSET_MIN)."""
+    m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", z)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return sign * (int(m.group(2)) * 60 + int(m.group(3)))
+    from .patterns import TZ_OFFSET_MIN
+
+    if z in TZ_OFFSET_MIN:
+        return TZ_OFFSET_MIN[z]
+    raise ValueError(f"unrecognized timezone: {z!r}")
 
 
 def _offset(sign: str, body: str) -> dt.timedelta:
@@ -51,11 +106,14 @@ def parse_dt_filter(
 ) -> dt.datetime:
     """One -a/-b value → UTC-naive datetime.
 
-    Forms: ISO date(/time, frac, tz-offset or Z); ±offset (relative
-    to now, s4.rs:3537); @±offset (relative to the other bound,
+    Forms: ISO date(/time, frac, ±hhmm/±hh:mm/Z/named tz); compact and
+    underscore date-times; epoch seconds (±%s); ±offset (relative to
+    now, s4.rs:3537); @±offset (relative to the other bound,
     s4.rs:3614).
     """
-    now = now or dt.datetime.utcnow().replace(microsecond=0)
+    now = now or dt.datetime.now(dt.timezone.utc).replace(
+        microsecond=0, tzinfo=None
+    )
     m = _REL_AT.match(value)
     if m:
         if other is None:
@@ -64,6 +122,17 @@ def parse_dt_filter(
     m = _REL.match(value)
     if m:
         return now + _offset(m.group(1), m.group(2))
+    m = _EPOCH.match(value)
+    if m:
+        return dt.datetime(1970, 1, 1) + dt.timedelta(
+            seconds=int(m.group(1))
+        )
+    m = _COMPACT.match(value)
+    if m:
+        return dt.datetime(
+            int(m.group(1)), int(m.group(2)), int(m.group(3)),
+            int(m.group(4) or 0), int(m.group(5) or 0), int(m.group(6) or 0),
+        )
     m = _ISO.match(value)
     if m:
         y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
@@ -74,10 +143,7 @@ def parse_dt_filter(
         out = dt.datetime(y, mo, d, h, mi, s, us)
         tz = m.group(8)
         if tz and tz != "Z":
-            sign = 1 if tz[0] == "+" else -1
-            out -= sign * dt.timedelta(
-                hours=int(tz[1:3]), minutes=int(tz[3:5])
-            )
+            out -= dt.timedelta(minutes=tz_offset_minutes(tz))
         return out
     raise ValueError(f"unrecognized datetime filter: {value!r}")
 
@@ -111,14 +177,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-a", "--dt-after", default=None)
     ap.add_argument("-b", "--dt-before", default=None)
     ap.add_argument("-u", "--prepend-utc", action="store_true")
+    ap.add_argument("-z", "--prepend-tz", default=None,
+                    help="prepend stamp in this tz (±hhmm / ±hh:mm / name)")
     ap.add_argument("-l", "--prepend-conv", action="store_true")
+    ap.add_argument("-w", "--prepend-align", action="store_true",
+                    help="width-align the prepended conv column (s4 -w)")
     ap.add_argument("--separator", default=" ")
     ap.add_argument("--summary", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
+    if args.prepend_utc and args.prepend_tz:
+        ap.error("-u and -z are mutually exclusive")
     try:
         after, before = resolve_filters(args.dt_after, args.dt_before)
+        z_offmin = (
+            tz_offset_minutes(args.prepend_tz) if args.prepend_tz else None
+        )
     except ValueError as ex:
         ap.error(str(ex))  # friendly one-liner + exit 2, s4-style
 
@@ -139,13 +214,39 @@ def main(argv: list[str] | None = None) -> int:
         after.isoformat(sep=" ") if after else None,
         before.isoformat(sep=" ") if before else None,
     )
+    sep = decode_separator(args.separator)
     out = F.col("text")
     if args.prepend_conv:
-        out = F.concat(F.col("conv_id"), F.lit(":"), F.lit(args.separator), out)
-    if args.prepend_utc:
+        conv = F.concat(F.col("conv_id"), F.lit(":"))
+        if args.prepend_align:
+            # s4 -w: pad every source label to the widest (s4.rs:
+            # 6282-6299 computes prepended-name width before printing).
+            # One metadata-sized agg on the cheap transcripts frame.
+            width = t.agg(
+                F.max(F.length("conv_id")).alias("w")
+            ).collect()[0]["w"] or 0
+            conv = F.rpad(conv, width + 1, " ")
+        out = F.concat(conv, F.lit(sep), out)
+    if args.prepend_tz:
+        # arbitrary-offset stamp: shift then format, suffix = ±hhmm
+        suffix = "{}{:02d}{:02d}".format(
+            "+" if z_offmin >= 0 else "-",
+            abs(z_offmin) // 60,
+            abs(z_offmin) % 60,
+        )
+        out = F.concat(
+            F.date_format(
+                F.col("ts_eff") + F.expr(f"INTERVAL {z_offmin} MINUTES"),
+                "yyyyMMdd'T'HHmmss",
+            ),
+            F.lit(suffix),
+            F.lit(sep),
+            out,
+        )
+    elif args.prepend_utc:
         out = F.concat(
             F.date_format("ts_eff", "yyyyMMdd'T'HHmmss'Z'"),
-            F.lit(args.separator),
+            F.lit(sep),
             out,
         )
     lines = merged.select(out.alias("line"))

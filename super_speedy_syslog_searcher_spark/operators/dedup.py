@@ -13,8 +13,10 @@ Scale notes (10^12 rows):
    band join is the classic near-dup pattern: only same-bucket pairs
    materialize, never the n^2 cross product.
  * n-gram Jaccard — shingle self-join restricted to candidate scope;
-   at scale one feeds LSH candidates into it (verify stage) instead
-   of the lang-scoped join used for the small synthetic corpus.
+   the scale path is lsh_verified_pairs: LSH band candidates feed the
+   exact-Jaccard verify, so shingle sets join only per candidate pair
+   (shuffle keyed on doc_id) and no shingle×shingle join ever forms.
+   The lang-scoped variant remains for small corpora / recall audits.
  * simhash      — 64-bit majority-of-token-hash-bits signature via
    explode + groupBy, no UDF.
 """
@@ -134,6 +136,51 @@ def ngram_jaccard_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidates → exact n-gram-Jaccard verification.
+
+    The 100 TB shape: candidate pairs (tiny vs n²) join each side's
+    shingle set on doc_id — both joins shuffle on doc keys, never on
+    shingle values, so hot shingles cannot form a quadratic join.  A
+    candidate pair sharing no shingle simply drops out before the
+    threshold filter (jaccard would be 0 — same output).
+
+    candidates defaults to minhash_band_pairs(docs); any (doc_a,
+    doc_b) frame works (e.g. simhash-bucket pairs).
+    """
+    cand = candidates if candidates is not None else minhash_band_pairs(docs)
+    sh = _shingles(docs)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        cand.join(a, "doc_a")               # A's shingles per pair
+        .join(b, ["doc_b", "shingle"])      # keep those B also has
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.alias("sa")

@@ -1,10 +1,18 @@
-"""Similarity search over the `embeddings` table (array<float>, 64-d).
+"""Similarity search over the `embeddings` table (array<float>).
 
-Brute-force cosine top-k is the exactness baseline; the IVF-style
-variant buckets vectors by dominant dimension and searches only the
-probe's bucket — the scale path (bucket = centroid assignment; at
-10^12 vectors the bucket column becomes the Iceberg partition key and
-the join prunes to one partition per probe).
+Brute-force cosine top-k is the exactness baseline; the IVF variant
+quantizes vectors into K_SEEDS coarse cells by nearest centroid and
+searches each probe's NPROBE_CELLS closest cells (nprobe > 1).
+Centroids are the table's first K_SEEDS vectors — deterministic and
+data-dependent, so both engines (Spark and the DuckDB oracle) derive
+the identical codebook from the data with no shipped state.  A
+sign-of-random-projection quantizer was tried first and measured
+recall@5 = 0.48-0.84 on these near-uniform embeddings; nearest-seed
+cells reach 0.92 while scanning ~18% of the corpus.
+
+At 10^12 vectors the cell id becomes the Iceberg partition key and
+each probe prunes to nprobe partitions — the bucket-join ANN shape;
+the centroid table stays a broadcast.
 
 All math is built-in (zip_with + aggregate) — JVM-side, no UDF.
 """
@@ -13,6 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+K_SEEDS = 16  # coarse-quantizer cells (first K vectors = centroids)
+NPROBE_CELLS = 3  # cells searched per probe
 
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
 NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
@@ -65,31 +76,65 @@ def cosine_topk(
     )
 
 
-def dominant_bucket(vec: str = "embedding") -> F.Column:
-    """IVF-style coarse quantizer: index (1-based) of the max-|x|
-    dimension — a deterministic, engine-portable centroid stand-in."""
-    return F.expr(
-        f"array_position(transform({vec}, x -> abs(cast(x as double))), "
-        f"array_max(transform({vec}, x -> abs(cast(x as double)))))"
-    ).cast("int")
+def seed_scores(emb: DataFrame, k_seeds: int = None) -> DataFrame:
+    """Cosine-to-centroid scores (vec_id, embedding, _norm, seed_id,
+    sscore).  Centroids are the first K_SEEDS vectors of the table —
+    deterministic, data-dependent (the "hash-seeded centroids" form of
+    an IVF codebook; a k-means refinement would only move the seeds,
+    not the plan shape).  The seed side is 16 rows → broadcast join;
+    the /|v| factor is constant per vector so argmax works on
+    dot/|seed| alone.
+    """
+    k_seeds = k_seeds or K_SEEDS
+    base = _with_norm(emb)
+    seeds = _with_norm(emb.filter(F.col("vec_id") < k_seeds)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+        F.col("_norm").alias("seed_norm"),
+    )
+    return base.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "_norm",
+        "seed_id",
+        (
+            F.expr(DOT.format(a="embedding", b="seed_vec"))
+            / F.col("seed_norm")
+        ).alias("sscore"),
+    )
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_probes: int = 10) -> DataFrame:
-    """Approximate top-k: search only vectors sharing the probe's
-    dominant-dimension bucket.  At scale: bucket == partition key,
-    probe joins prune to single partitions (bucket-join ANN)."""
-    with_b = _with_norm(emb).withColumn("bucket", dominant_bucket())
-    base = with_b.select(
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_probes: int = 10,
+    nprobe_cells: int = NPROBE_CELLS,
+) -> DataFrame:
+    """Approximate top-k, IVF-style: every vector lives in the cell of
+    its nearest centroid; a probe searches its nprobe_cells closest
+    cells (nprobe > 1).  Measured recall@5 = 0.92 vs exact cosine at
+    ~18% of the corpus scanned (tests/test_training_ops.py::
+    test_ivf_recall_at_5).  At 10^12 vectors the cell id becomes the
+    Iceberg partition key and each probe prunes to nprobe partitions —
+    the bucket-join ANN shape; the centroid table stays a broadcast.
+    """
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sscore"), F.asc("seed_id")
+    )
+    ranked = seed_scores(emb).withColumn("rn", F.row_number().over(w))
+    base = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("nbr_vec"),
         F.col("_norm").alias("nbr_norm"),
-        "bucket",
+        F.col("seed_id").alias("bucket"),
     )
-    probes = with_b.filter(F.col("vec_id") < n_probes).select(
+    probes = ranked.filter(
+        (F.col("vec_id") < n_probes) & (F.col("rn") <= nprobe_cells)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.col("_norm").alias("probe_norm"),
-        F.col("bucket").alias("probe_bucket"),
+        F.col("seed_id").alias("probe_bucket"),
     )
     scored = base.join(
         F.broadcast(probes),
@@ -103,11 +148,11 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_probes: int = 10) -> DataFrame:
             4,
         ),
     )
-    w = Window.partitionBy("probe_id").orderBy(
+    wr = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(
             "probe_id",

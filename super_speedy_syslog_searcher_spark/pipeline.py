@@ -22,7 +22,7 @@ def parse_repair(
     df: DataFrame,
     anchor_year: int = 2024,
     narrow: bool = False,
-    freeze: bool = True,
+    freeze: bool = False,
 ) -> DataFrame:
     """narrow=True drops the text payload right after the parse UDF
     (keeping text_len for the summary stats) so the window/shuffle
@@ -31,10 +31,16 @@ def parse_repair(
 
     freeze=True runs s4's sample-then-freeze fast path
     (syslinereader.rs:920): a bounded head sample learns each conv's
-    dominant pattern, which the main parse then tries first — ~1
-    winner regex per row instead of a masked bank walk.  Bank
-    disjointness makes the output identical either way (differentially
-    verified); freeze=False skips the extra sampling job."""
+    dominant pattern, which the main parse then tries before the bank
+    walk.  Output is identical either way (bank entries are pairwise
+    disjoint; differentially verified + tested).  Default OFF because
+    measured A/B at 3M turns shows the vectorized dispatch masks
+    already deliver the freeze's benefit (~1 regex/row): bank walk
+    5.5 s vs frozen 10.7 s (scattered batches mix ~all winners) /
+    6.3 s (conv-clustered batches) — see BENCH/BASELINE.md.  On a
+    conv-bucketed Iceberg layout where a batch holds one conversation
+    the frozen path degenerates to a single extract per batch and
+    becomes the right choice; the plumbing is here for that layout."""
     winners = learn_winners(df, anchor_year=anchor_year) if freeze else None
     p = parse_stage(df, anchor_year=anchor_year, winners=winners)
     if narrow:
@@ -71,6 +77,16 @@ def full_merge(
     out = assembled(df)
     if enrich:
         out = enrich_stage(out)
+    else:
+        # prune parse internals (ts_parsed, dt spans, uptime, sink)
+        # before the persist + range shuffle: the merge output schema
+        # needs only the transcript columns + assembly results, and
+        # the dropped ~30% of bytes would otherwise ride through the
+        # cache AND the sort exchange
+        out = out.select(
+            "conv_id", "turn_idx", "role", "tool", "text", "ts",
+            "ts_eff", "sink_eff", "msg_turn_idx",
+        )
     out = dt_filter(out, after, before)
     if persist_before_sort:
         from pyspark import StorageLevel

@@ -19,10 +19,34 @@ merge) runs unchanged on real log files — `s4 <paths>` parity.
 
 from __future__ import annotations
 
+import codecs
+import glob as _glob
+import gzip
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# BOM sniff table, longest first (UTF-32LE's BOM starts with
+# UTF-16LE's) — detect_filetype_text_encoding parity
+# (src/readers/filepreprocessor.rs:278-360).
+_BOM_ENCODINGS = [
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+]
+
+
+def sniff_encoding(head: bytes) -> str:
+    """BOM-based encoding detection; BOM-less data is UTF-8 (the
+    reference's default, filepreprocessor.rs:278-360)."""
+    for bom, enc in _BOM_ENCODINGS:
+        if head.startswith(bom):
+            return enc
+    return "utf-8"
 
 
 def read_log_files(
@@ -67,11 +91,15 @@ def read_log_files(
         ts_col = mt[F.col("conv_id")].cast("timestamp")
     else:
         local = {}
+        # expand globs and build keys exactly as input_file_name()
+        # prints them (percent-encoded file:// URIs via Path.as_uri),
+        # so paths with spaces/unicode still resolve their mtime
         for p in paths:
-            if os.path.isfile(p):
-                local[f"file://{os.path.abspath(p)}"] = int(
-                    os.path.getmtime(p)
-                )
+            for g in _glob.glob(p) or ([p] if os.path.isfile(p) else []):
+                if os.path.isfile(g):
+                    local[Path(g).resolve().as_uri()] = int(
+                        os.path.getmtime(g)
+                    )
         if local:
             mt = F.create_map(
                 *[
@@ -90,4 +118,68 @@ def read_log_files(
         "text",
         F.lit("none").alias("tool"),
         ts_col.alias("ts"),
+    )
+
+
+def read_log_files_decoded(
+    spark: SparkSession,
+    paths: list[str] | str,
+    charset: str | None = None,
+) -> DataFrame:
+    """Encoding-aware log-file source: UTF-8/16/32 ± BOM.
+
+    The Spark text source is UTF-8-only, so non-UTF-8 files take the
+    reference's own route (filepreprocessor.rs:278-360 detects BOM and
+    transcodes the file): whole files via the binaryFile source, then
+    an Arrow-batched mapInPandas decodes (BOM sniff unless charset is
+    forced), splits lines, and numbers turns.  A file is the unit of
+    parallelism — identical to s4's one-reader-per-file model; the
+    binaryFile source never splits a file, so line numbering is exact.
+    .gz payloads are decompressed before the sniff (BlockReader codec
+    parity).  ts carries the file's modificationTime, the same mtime
+    seed s4 uses for no-year/uptime anchoring.
+
+    Output shape == read_log_files == transcripts: the whole pipeline
+    runs unchanged on the result.
+    """
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(paths)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "role": [],
+                "text": [], "tool": [], "ts": [],
+            }
+            for path, mtime, content in zip(
+                pdf["path"], pdf["modificationTime"], pdf["content"]
+            ):
+                data = bytes(content)
+                if path.endswith(".gz"):
+                    data = gzip.decompress(data)
+                enc = charset or sniff_encoding(data[:4])
+                # the explicit-endian codecs keep U+FEFF; drop the BOM
+                # bytes so line 0 starts at the real text
+                for bom, e in _BOM_ENCODINGS:
+                    if e == enc and data.startswith(bom):
+                        data = data[len(bom):]
+                        break
+                lines = data.decode(enc, errors="replace").splitlines()
+                for i, line in enumerate(lines):
+                    out["conv_id"].append(path)
+                    out["turn_idx"].append(i)
+                    out["role"].append("log")
+                    out["text"].append(line)
+                    out["tool"].append("none")
+                    out["ts"].append(mtime)
+            yield pd.DataFrame(out)
+
+    return (
+        bf.select("path", "modificationTime", "content")
+        .mapInPandas(decode, schema)
     )

@@ -32,12 +32,14 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
-def stream_source(spark: SparkSession, in_dir: str) -> DataFrame:
+def stream_source(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-stream of transcript parquet files (new files = new data;
     the Iceberg streaming read is the cluster-scale equivalent)."""
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
         .parquet(in_dir)
     )
 

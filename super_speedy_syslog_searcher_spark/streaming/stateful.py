@@ -39,8 +39,19 @@ STATE_SCHEMA = "anchor_turn int, anchor_ts_us long, anchor_sink string"
 
 
 def _attach(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle-conversation eviction (s4's stage-3 streaming drop,
+        # src/readers/syslogprocessor.rs:151): the open anchor is
+        # discarded; a late continuation arriving afterwards degrades
+        # to sink 'continuation' (documented semantics), and the next
+        # datetime-bearing line re-establishes the anchor naturally.
+        state.remove()
+        return
     if state.exists:
         anchor_turn, anchor_ts_us, anchor_sink = state.get
     else:
@@ -71,29 +82,67 @@ def _attach(
         yield out
     if anchor_turn is not None:
         state.update((anchor_turn, anchor_ts_us, anchor_sink))
+        if ttl_ms is not None:
+            # evict when EVENT time moves ttl_ms past the anchor —
+            # deterministic (no wall clock), watermark-driven, and
+            # checkpoint-stable across restarts.  The deadline must
+            # exceed the current watermark or Spark rejects it.
+            deadline = anchor_ts_us // 1000 + ttl_ms
+            state.setTimeoutTimestamp(
+                max(deadline, state.getCurrentWatermarkMs() + 1)
+            )
 
 
-def assembled_stream(stream: DataFrame) -> DataFrame:
-    """parse → per-conv stateful continuation attach."""
+def assembled_stream(
+    stream: DataFrame,
+    state_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """parse → per-conv stateful continuation attach.
+
+    state_ttl_ms bounds state on unbounded conversation keyspaces: a
+    conversation whose anchor's event time falls state_ttl_ms behind
+    the stream's watermark is evicted (EventTimeTimeout), so the state
+    store stays proportional to *active* conversations — the streaming
+    analogue of s4 dropping processed data in stage 3
+    (syslogprocessor.rs:151,327).  None keeps state forever (bounded
+    keyspaces / drain-style jobs).
+    """
     parsed = parsed_stream(stream).select(
         "conv_id", "turn_idx", "text", "ts_parsed", "sink"
     )
+    if state_ttl_ms is None:
+        fn, timeout = _attach, GroupStateTimeout.NoTimeout
+    else:
+        def fn(key, pdfs, state):  # bind the TTL
+            return _attach(key, pdfs, state, ttl_ms=state_ttl_ms)
+
+        timeout = GroupStateTimeout.EventTimeTimeout
+        parsed = parsed.withWatermark("ts_parsed", watermark_delay)
     return parsed.groupBy("conv_id").applyInPandasWithState(
-        _attach,
+        fn,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
 def run_assembled_available_now(
-    spark, in_dir: str, out_dir: str, checkpoint_dir: str
+    spark,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     from .pipeline import stream_source
 
     q = (
-        assembled_stream(stream_source(spark, in_dir))
+        assembled_stream(
+            stream_source(spark, in_dir, max_files_per_trigger),
+            state_ttl_ms=state_ttl_ms,
+        )
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)

@@ -16,7 +16,8 @@ from tests.conftest import SF_SMOKE
 def _small(t):
     from pyspark.sql import functions as F
 
-    return t.filter(F.col("ts") < "2024-01-07")  # 6 day-partitions
+    # bounded rows; conv-bucket partitioning (8 buckets) stays full
+    return t.filter(F.col("ts") < "2024-01-07")
 
 
 def test_kill_and_resume(spark, tmp_path):
@@ -48,10 +49,15 @@ def test_kill_and_resume(spark, tmp_path):
             == mtimes_before[k]
         )
 
-    # final equality with a single-shot run
-    got = spark.read.parquet(f"{out}/day=*").count()
-    want = P.assembled(t).count()
-    assert got == want
+    # final VALUE equality with a single-shot run (conv-complete
+    # buckets make per-partition assembly exact, incl. continuation
+    # lines whose anchor is far away in event time)
+    cols = ["conv_id", "turn_idx", "msg_turn_idx", "ts_eff", "sink_eff"]
+    got = spark.read.parquet(f"{out}/bucket=*").select(*cols)
+    want = P.assembled(t).select(*cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
     # metrics present + coherent
     rec = json.loads(

@@ -10,8 +10,10 @@ import sys
 import pytest
 
 from super_speedy_syslog_searcher_spark.cli import (
+    decode_separator,
     parse_dt_filter,
     resolve_filters,
+    tz_offset_minutes,
 )
 
 NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
@@ -30,10 +32,35 @@ NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
         ("-1d", NOW - dt.timedelta(days=1)),
         ("-1w2d3h", NOW - dt.timedelta(weeks=1, days=2, hours=3)),
         ("+30m", NOW + dt.timedelta(minutes=30)),
+        # round-2 grammar growth (s4.rs:552-559 forms)
+        ("2024-01-10T05:30:07+05:30", dt.datetime(2024, 1, 10, 0, 0, 7)),
+        ("2024-01-10 05:30:07 PST", dt.datetime(2024, 1, 10, 13, 30, 7)),
+        ("2024-01-10 05:30:07 UTC", dt.datetime(2024, 1, 10, 5, 30, 7)),
+        ("20240110", dt.datetime(2024, 1, 10)),
+        ("20240110T053007", dt.datetime(2024, 1, 10, 5, 30, 7)),
+        ("20240110_053007", dt.datetime(2024, 1, 10, 5, 30, 7)),
+        ("1704112402", dt.datetime(2024, 1, 1, 12, 33, 22)),
+        ("+1704112402", dt.datetime(2024, 1, 1, 12, 33, 22)),
     ],
 )
 def test_filter_grammar(value, expected):
     assert parse_dt_filter(value, now=NOW) == expected
+
+
+def test_separator_escapes():
+    assert decode_separator(r"\t") == "\t"
+    assert decode_separator(r"\x00") == "\0"
+    assert decode_separator(r"a\\b") == "a\\b"
+    assert decode_separator(r"\x1b[") == "\x1b["
+    assert decode_separator("plain") == "plain"
+
+
+def test_tz_offset_minutes():
+    assert tz_offset_minutes("+0530") == 330
+    assert tz_offset_minutes("-08:00") == -480
+    assert tz_offset_minutes("PST") == -480
+    with pytest.raises(ValueError):
+        tz_offset_minutes("XXX")
 
 
 def test_at_anchoring():
@@ -83,3 +110,46 @@ def test_cli_end_to_end():
     stamps = [ln.split(" ")[0] for ln in lines]
     assert stamps == sorted(stamps)  # globally ordered
     assert all(ln.split(" ", 2)[1].startswith("conv-") for ln in lines)
+
+
+def test_cli_align_tz_separator():
+    """-w width alignment + -z arbitrary tz + escaped separator:
+    byte-level shape of every prepended field."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            "/root/testdata/sf0.001",
+            "-a",
+            "2024-01-10",
+            "-b",
+            "@+5d",
+            "-z",
+            "-0800",
+            "-l",
+            "-w",
+            "--separator",
+            r"\t",
+            "--limit",
+            "20",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = out.stdout.rstrip("\n").split("\n")
+    assert len(lines) == 20
+    stamp_re = None
+    import re as _re
+
+    stamp_re = _re.compile(r"^\d{8}T\d{6}-0800$")
+    widths = set()
+    for ln in lines:
+        stamp, conv, _rest = ln.split("\t", 2)
+        assert stamp_re.match(stamp), stamp
+        assert conv.startswith("conv-")
+        widths.add(len(conv))  # -w: every conv field padded equal
+    assert len(widths) == 1

@@ -91,3 +91,66 @@ def test_parse_prunes_columns(spark):
     # the tree and again in the details section)
     nodes = re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)
     assert len(nodes) == 1  # UDF evaluated once, not per struct field
+
+
+def test_sniff_encoding_table():
+    import codecs
+
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        sniff_encoding,
+    )
+
+    assert sniff_encoding(codecs.BOM_UTF16_LE + b"ab") == "utf-16-le"
+    assert sniff_encoding(codecs.BOM_UTF16_BE + b"ab") == "utf-16-be"
+    assert sniff_encoding(codecs.BOM_UTF32_LE + b"ab") == "utf-32-le"
+    assert sniff_encoding(codecs.BOM_UTF32_BE + b"ab") == "utf-32-be"
+    assert sniff_encoding(codecs.BOM_UTF8 + b"ab") == "utf-8-sig"
+    assert sniff_encoding(b"2024-01-05") == "utf-8"
+
+
+def test_utf16_roundtrip_full_pipeline(spark, tmp_path):
+    """UTF-16LE+BOM fixture through decode → parse → repair →
+    assemble (filepreprocessor.rs:278-360 parity)."""
+    import codecs
+
+    from super_speedy_syslog_searcher_spark.operators.assemble import (
+        assemble_stage,
+    )
+    from super_speedy_syslog_searcher_spark.operators.parse import parse_stage
+    from super_speedy_syslog_searcher_spark.operators.repair import (
+        repair_stage,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        read_log_files_decoded,
+    )
+
+    lines = [
+        "2024-01-05T03:04:05 alpha start",
+        "  continuation one",
+        "2024-01-05T03:05:06 beta end",
+    ]
+    p = tmp_path / "u16.log"
+    p.write_bytes(
+        codecs.BOM_UTF16_LE + "\n".join(lines).encode("utf-16-le")
+    )
+    # and a UTF-32BE sibling, gzipped (codec → sniff → decode chain)
+    import gzip as _gz
+
+    q = tmp_path / "u32.log.gz"
+    q.write_bytes(
+        _gz.compress(
+            codecs.BOM_UTF32_BE + "2024-01-05T04:00:00 gamma".encode("utf-32-be")
+        )
+    )
+    df = read_log_files_decoded(spark, [str(p), str(q)])
+    out = assemble_stage(repair_stage(parse_stage(df, scatter=False)))
+    rows = sorted(
+        out.collect(), key=lambda r: (r["conv_id"], r["turn_idx"])
+    )
+    u16 = [r for r in rows if r["conv_id"].endswith("u16.log")]
+    assert [r["text"] for r in u16] == lines
+    assert u16[0]["sink"] == "iso8601_notz"
+    assert u16[1]["sink_eff"] == "iso8601_notz"  # continuation attached
+    assert str(u16[2]["ts_eff"]) == "2024-01-05 03:05:06"
+    u32 = [r for r in rows if "u32" in r["conv_id"]]
+    assert len(u32) == 1 and str(u32[0]["ts_parsed"]) == "2024-01-05 04:00:00"

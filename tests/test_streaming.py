@@ -98,3 +98,60 @@ def test_stateful_assembly_equals_batch(spark, tmp_path):
         (F.col("turn_idx") >= 20) & (F.col("msg_turn_idx") < 20)
     ).count()
     assert cross >= 1
+
+
+def test_stateful_state_ttl_eviction(spark, tmp_path):
+    """Idle-conversation state is evicted once the stream's event-time
+    watermark passes anchor+TTL (EventTimeTimeout — deterministic, no
+    wall clock); a late continuation arriving after eviction degrades
+    to sink_eff='continuation' (documented), instead of inheriting the
+    long-gone anchor.  Contrast: the no-TTL test above proves
+    cross-batch inheritance when state is kept."""
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "in4")
+    out_dir = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ck4")
+    schema = sp.TRANSCRIPT_SCHEMA
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        stateful.run_assembled_available_now(
+            spark,
+            in_dir,
+            out_dir,
+            ckpt,
+            state_ttl_ms=60_000,  # evict 1 event-minute after anchor
+            max_files_per_trigger=1,
+        )
+
+    t0 = __import__("datetime").datetime(2024, 1, 5, 3, 0, 0)
+    # run 1: conv X anchors at 03:04:05 (deadline 03:05:05)
+    write_batch(
+        [
+            ("conv-X", 0, "user", "2024-01-05T03:04:05 start", "none", t0),
+            ("conv-X", 1, "user", "  continuation one", "none", t0),
+        ]
+    )
+    run()
+    # run 2: conv Y at 04:00 advances the watermark past X's deadline
+    write_batch([("conv-Y", 0, "user", "2024-01-05T04:00:00 other", "none", t0)])
+    run()
+    # run 3: conv Z — X has no data this batch and wm > deadline → X's
+    # timeout fires here and its state is removed
+    write_batch([("conv-Z", 0, "user", "2024-01-05T04:00:01 third", "none", t0)])
+    run()
+    # run 4: late continuation for X after eviction
+    write_batch([("conv-X", 2, "user", "  late continuation", "none", t0)])
+    run()
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["sink_eff"], r["msg_turn_idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("conv-X", 1)][0] == "iso8601_notz"  # pre-eviction attach
+    assert got[("conv-X", 2)] == ("continuation", None)  # post-eviction
