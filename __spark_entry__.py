@@ -270,6 +270,19 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling over the binary payload (mapInPandas; the
+    video/audio frame-sample plumbing with a deterministic fake
+    decode)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.frame_samples(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        "frames",
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -361,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -626,6 +640,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
        'text' AS modality
 FROM documents""",
+        "multimodal_frames": """
+WITH f AS (
+  SELECT doc_id,
+         lower(hex(encode(text))) AS hx,
+         least(8, CAST(ceil(octet_length(encode(text)) / 16.0) AS INT)) AS k
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(k AS INT) AS n_frames,
+       array_to_string(
+         list_transform(generate_series(0, k - 1),
+                        i -> substr(hx, i * 32 + 1, 2)), ':') AS frames
+FROM f""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

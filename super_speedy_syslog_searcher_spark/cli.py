@@ -257,7 +257,14 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.write(row["line"] + "\n")
         n += 1
     if args.summary:
-        summ = stats.conv_summary(P.parse_repair(t, narrow=True)).collect()
+        # bounded driver traffic: a CLI summary is human-facing, so
+        # cap the per-conv rows collected (at 10^8 convs the full
+        # summary belongs in a table sink, not stdout)
+        summ = (
+            stats.conv_summary(P.parse_repair(t, narrow=True))
+            .limit(10_000)
+            .collect()
+        )
         print(f"printed {n} lines from {len(summ)} conversations", file=sys.stderr)
         for r in sorted(summ, key=lambda r: r["conv_id"])[:20]:
             print(

@@ -58,6 +58,44 @@ def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = "doc_id long, n_frames int, frames string"
+FRAME_STRIDE = 16  # sample one byte every 16 payload bytes
+MAX_FRAMES = 8
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling over the opaque payload — the video/audio
+    frame-sample shape (decode stays a deterministic fake: the
+    'frame' is the raw byte at each stride, hex-encoded, so the
+    DuckDB oracle can derive the identical answer from hex(payload)
+    substrings).  Real per-batch work: byte slicing + bounded output
+    per row, exactly what a codec-backed sampler does per batch."""
+    for pdf in batches:
+        n_frames, frames = [], []
+        for b in pdf["payload"]:
+            raw = bytes(b)
+            k = min(MAX_FRAMES, (len(raw) + FRAME_STRIDE - 1) // FRAME_STRIDE)
+            n_frames.append(k)
+            frames.append(
+                ":".join(
+                    raw[i * FRAME_STRIDE : i * FRAME_STRIDE + 1].hex()
+                    for i in range(k)
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_frames": pd.array(n_frames, dtype="int32"),
+                "frames": frames,
+            }
+        )
+
+
+def frame_samples(docs: DataFrame) -> DataFrame:
+    """binary payload → sampled-frame summary via mapInPandas."""
+    return with_binary_payload(docs).mapInPandas(_frame_sample, FRAME_SCHEMA)
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """The sandbox has no real image/audio corpus: synthesize the
     opaque binary column from text bytes (the plumbing under test is

@@ -102,6 +102,28 @@ def test_multimodal_batch_shape(spark):
     assert r0["modality"] == "text"
 
 
+def test_multimodal_frame_sampling(spark):
+    """frame_samples: bounded per-row output (<= MAX_FRAMES), stride
+    sampling verified against a driver-side recompute of the same
+    deterministic fake decode."""
+    docs = _docs(spark).limit(5)
+    out = {r["doc_id"]: r for r in multimodal.frame_samples(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(src)
+    for doc_id, text in src.items():
+        raw = text.encode("utf-8")
+        k = min(
+            multimodal.MAX_FRAMES,
+            (len(raw) + multimodal.FRAME_STRIDE - 1) // multimodal.FRAME_STRIDE,
+        )
+        want = ":".join(
+            raw[i * multimodal.FRAME_STRIDE : i * multimodal.FRAME_STRIDE + 1].hex()
+            for i in range(k)
+        )
+        assert out[doc_id]["n_frames"] == k
+        assert out[doc_id]["frames"] == want
+
+
 def test_quality_monotone_in_stopwords(spark):
     df = spark.createDataFrame(
         [
