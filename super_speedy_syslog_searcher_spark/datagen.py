@@ -34,10 +34,12 @@ families exercise one bank entry, e.g. bare/fractional epoch):
   6   rh_audit_epoch    type=USER_ACCT msg=audit(1704423845.123:7): ere_datetimes_impl.rs:4661
   7   strace_epoch      1704423845.123456                           ere_datetimes_impl.rs:4680
   8   dmesg_uptime      [12345.123456]                              ere_datetimes_impl.rs:5849
-  9-30 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
+  9-38 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
                         ctime ± year, lowercase months, day-first dates,
                         named-tz ISO, RFC5424, logcat, apache_error,
-                        12-hour clocks, bracketed ISO, ns fractions
+                        12-hour clocks, bracketed ISO ± tz, ns fractions,
+                        RFC3339 Zulu, nagios/bash-history epoch,
+                        JUL SimpleFormatter, compact forms
                         (ere_datetimes_impl.rs:2317-6439 families)
   99  (continuation)    no datetime — attaches to previous message  src/data/mod.rs:34-44
 
@@ -91,6 +93,15 @@ EXT_FAMS = [
     ("ctime_noyear", 27, 0, 19, "t0"),
     ("bracketed_iso", 28, 1, 20, "t0"),
     ("iso8601_notz", 1, 0, 29, "us"),  # 9-digit ns fraction → bank 1
+    # -- round-2 second batch (fams 31-38) ---------------------------
+    ("iso8601_zulu", 29, 0, 20, "t0"),
+    ("nagios_epoch", 30, 1, 11, "t0"),
+    ("bash_history", 31, 1, 11, "t0"),
+    ("dd_mon_yyyy", 32, 0, 20, "t0"),
+    ("java_util_log", 33, 0, 24, "t0"),
+    ("bracketed_iso_tz", 34, 1, 25, "t0"),
+    ("ymd_dash_time", 35, 0, 19, "t0"),
+    ("compact_ymd_space", 36, 0, 15, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -277,6 +288,22 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         28: f"{dow(t0)} || ' ' || {mon(t0)} || ' ' || {day2sp} || ' ' || {time8(t0)}",
         29: f"'[' || {date_iso(t0)} || ' ' || {time8(t0)} || ']'",
         30: f"{date_iso(t0)} || 'T' || {time8(t0)} || '.' || {frac6} || '000'",
+        # -- round-2 second batch (fams 31-38) -------------------------
+        31: f"{date_iso(t0)} || 'T' || {time8(t0)} || 'Z'",
+        32: f"'[' || {sec10} || ']'",
+        33: f"'#' || {sec10}",
+        34: f"{dp(t0, 'day')} || ' ' || {mon(t0)} || ' ' || {year_s(t0)} || ' ' || {time8(t0)}",
+        35: (
+            f"{mon(t0)} || ' ' || {dp(t0, 'day')} || ', ' || {year_s(t0)}"
+            f" || ' ' || {h12(t0)} || ':' || {dp(t0, 'minute')}"
+            f" || ':' || {dp(t0, 'second')} || ' ' || {ampm(t0)}"
+        ),
+        36: f"'[' || {date_iso(l0)} || 'T' || {time8(l0)} || offstr || ']'",
+        37: f"{date_iso(t0)} || '-' || {time8(t0)}",
+        38: (
+            f"{year_s(t0)} || {dp(t0, 'month')} || {dp(t0, 'day')} || ' '"
+            f" || {dp(t0, 'hour')} || {dp(t0, 'minute')} || {dp(t0, 'second')}"
+        ),
     }
     prefix_case = "CASE fam " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in prefixes.items()

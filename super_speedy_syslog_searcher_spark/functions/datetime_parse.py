@@ -91,13 +91,14 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         us = g["eu"].astype("int64")
         return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
 
-    # ymd / mon_name / mdy12
-    if p.kind == "mon_name":
+    # ymd / mon_name / mdy12 / mon12 — component source is capture-
+    # group-driven: 'b' = month name, 'h12'+'ampm' = 12-hour clock
+    if "b" in g.columns:
         # capitalize folds 'jan'/'JAN' (pattern 17) onto the map
         month = g["b"].str.capitalize().map(MONTH_NUM)
     else:
         month = g["M"].astype("int64")
-    if p.kind == "mdy12":  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
+    if "h12" in g.columns:  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
         h12 = g["h12"].astype("int64") % 12
         hour = h12 + np.where(g["ampm"] == "PM", 12, 0)
     else:
@@ -191,6 +192,17 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         26: prefix.str.slice(0, 16).str.isdigit().fillna(False),
         27: dow_sp,
         28: bracket,
+        29: iso,
+        30: bracket,
+        31: c0 == "#",
+        32: first2_digit & (prefix.str.slice(2, 3) == " "),
+        33: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
+        34: bracket,
+        35: iso,
+        36: (
+            prefix.str.slice(0, 8).str.isdigit().fillna(False)
+            & (prefix.str.slice(8, 9) == " ")
+        ),
     }
 
 

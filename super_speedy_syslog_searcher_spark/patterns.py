@@ -112,12 +112,12 @@ PATTERNS: list[Pattern] = [
         1, "iso8601_notz",
         # frac 1-9 digits (%f parity, ere_datetimes_impl.rs:520-525);
         # the trailing lookaheads keep this catch-all disjoint from
-        # space-separated numeric-tz (0), AM/PM 12-hour (25) and
-        # named-tz (20) lines, so the frozen winner-first parse is
-        # equivalent to strict bank order.
+        # space-separated numeric-tz (0), AM/PM 12-hour (25), Zulu
+        # (29) and named-tz (20) lines, so the frozen winner-first
+        # parse is equivalent to strict bank order.
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
         r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
-        rf"(?![.\d+,-])(?! ?[+-]\d{{4}})(?! [AP]M\b)(?! (?:{_TZN_ALT})\b)",
+        rf"(?![.\dZ+,-])(?! ?[+-]\d{{4}})(?! [AP]M\b)(?! (?:{_TZN_ALT})\b)",
         "ymd",
         tests=[
             ("2020-01-02T03:04:05 rest", "2020-01-02 03:04:05", 0, 19),
@@ -413,6 +413,92 @@ PATTERNS: list[Pattern] = [
         tests=[
             ("[2024-01-05 03:04:05] INFO x", "2024-01-05 03:04:05", 1, 20),
             ("[2024-01-05T03:04:05.123] DEBUG", "2024-01-05 03:04:05.123000", 1, 24),
+        ],
+    ),
+    # ---- round-2 second batch (ids stable, append-only) -------------
+    Pattern(
+        29, "iso8601_zulu",  # RFC3339 Zulu: ...THH:MM:SS(.f)Z
+        # pattern 1 excludes a trailing Z (lookahead), so Zulu lines
+        # fall through to here and the Z is part of the matched span —
+        # s4 treats Z as an explicit +00:00 (ere_datetimes_impl.rs:589).
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r"(?P<tz>Z))",
+        "ymd",
+        tests=[
+            ("2024-01-05T03:04:05Z host x", "2024-01-05 03:04:05", 0, 20),
+            ("2024-01-05T03:04:05.123Z y", "2024-01-05 03:04:05.123000", 0, 24),
+        ],
+    ),
+    Pattern(
+        30, "nagios_epoch",  # [1704112402] SERVICE ALERT: ...
+        r"^(?P<pre>\[)(?P<dt>(?P<es>\d{9,11}))\]",
+        "epoch",
+        dt_beg=None,
+        tests=[
+            ("[1704112402] SERVICE ALERT: h;s", "2024-01-01 12:33:22", 1, 11),
+        ],
+    ),
+    Pattern(
+        31, "bash_history",  # HISTTIMEFORMAT marker: #<epoch>
+        r"^(?P<pre>#)(?P<dt>(?P<es>\d{9,11}))(?![\d.])",
+        "epoch",
+        dt_beg=None,
+        tests=[
+            ("#1704112402", "2024-01-01 12:33:22", 1, 11),
+        ],
+    ),
+    Pattern(
+        32, "dd_mon_yyyy",  # 05 Jan 2024 03:04:05 (proftpd-ish)
+        rf"^(?P<dt>(?P<D>\d{{2}}) (?P<b>{_MON_ALT}) (?P<Y>\d{{4}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))",
+        "mon_name",
+        tests=[
+            ("05 Jan 2024 03:04:05 info m", "2024-01-05 03:04:05", 0, 20),
+        ],
+    ),
+    Pattern(
+        33, "java_util_log",  # JUL SimpleFormatter: Jan 05, 2024 3:04:05 AM
+        rf"^(?P<dt>(?P<b>{_MON_ALT}) (?P<D>\d{{2}}), (?P<Y>\d{{4}}) "
+        rf"(?P<h12>\d{{1,2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) (?P<ampm>AM|PM))\b",
+        "mon12",
+        tests=[
+            ("Jan 05, 2024 03:04:05 AM m", "2024-01-05 03:04:05", 0, 24),
+            ("Jan 05, 2024 11:04:05 PM m", "2024-01-05 23:04:05", 0, 24),
+            ("Jan 05, 2024 3:04:05 PM m", "2024-01-05 15:04:05", 0, 23),
+        ],
+    ),
+    Pattern(
+        34, "bracketed_iso_tz",  # JVM GC-log style: [ISO±tz|Z]
+        # bracketed_iso (28) requires ']' right after secs/frac, so
+        # tz-suffixed brackets fall through to here.
+        r"^(?P<pre>\[)(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r"(?P<tz>Z|[+-]\d{2}:?\d{2}))\]",
+        "ymd",
+        dt_beg=None,
+        tests=[
+            ("[2024-01-05T03:04:05+0000] GC pause", "2024-01-05 03:04:05", 1, 25),
+            ("[2024-01-05T03:04:05.123-0800] x", "2024-01-05 11:04:05.123000", 1, 29),
+            ("[2024-01-05T03:04:05.123Z] gc", "2024-01-05 03:04:05.123000", 1, 25),
+        ],
+    ),
+    Pattern(
+        35, "ymd_dash_time",  # YYYY-MM-DD-HH:MM:SS (dash joins time)
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})-"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))",
+        "ymd",
+        tests=[
+            ("2024-01-05-03:04:05 backup done", "2024-01-05 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        36, "compact_ymd_space",  # YYYYMMDD HHMMSS
+        r"^(?P<dt>(?P<Y>\d{4})(?P<M>\d{2})(?P<D>\d{2}) "
+        r"(?P<h>\d{2})(?P<mi>\d{2})(?P<s>\d{2}))(?!\d)",
+        "ymd",
+        tests=[
+            ("20240105 030405 snapshot ok", "2024-01-05 03:04:05", 0, 15),
         ],
     ),
 ]

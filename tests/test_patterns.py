@@ -98,6 +98,19 @@ def test_winner_first_equals_bank_order():
             "jan  5 03:04:05 lowercase syslog",        # pattern 17
             "Fri Jan  5 03:04:05 2024 ctime+year",     # pattern 16
             "Fri Jan  5 03:04:05 ctime noyear",        # pattern 27
+            "2024-01-05T03:04:05Z zulu",               # pattern 29
+            "2024-01-05T03:04:05.999Z zulu frac",      # pattern 29
+            "[2024-01-05 03:04:05] plain bracket",     # pattern 28
+            "[2024-01-05T03:04:05+0530] tz bracket",   # pattern 34
+            "[1704112402] nagios epoch",               # pattern 30
+            "[12345.123456] dmesg uptime",             # pattern 8
+            "#1704112402",                             # pattern 31
+            "05 Jan 2024 03:04:05 dd-mon",             # pattern 32
+            "Jan 05, 2024 03:04:05 AM jul",            # pattern 33
+            "Jan 05 2024 03:04:05 mon-dy-year",        # pattern 22
+            "2024-01-05-03:04:05 dash-time",           # pattern 35
+            "20240105 030405 compact-space",           # pattern 36
+            "20240105T030405 compact-T",               # pattern 12
             "  at continuation frame 12",              # none
         ]
     )
