@@ -225,6 +225,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs.  The synthetic embeddings have
+    no natural near-dups (max pairwise cosine ~0.44), so the query
+    derives an augmented table with deterministic scaled copies
+    (vec_id % 25 == 0 -> vec_id + 10000, embedding x 1.5 — identical
+    direction, cosine 1.0) in BOTH engines, the same
+    derive-the-fixture idiom as the transcripts corpus; the operator
+    then finds the planted pairs via IVF-bucket candidates, never
+    all-pairs."""
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    return similarity.embedding_near_dups(aug).select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        "cosine",
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -369,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -597,6 +623,29 @@ r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, n
 SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5""",
+        "dedup_embedding": """WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+  FROM embeddings WHERE vec_id % 25 = 0),
+n AS (SELECT vec_id, embedding,
+  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM aug),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
+        list_sum(list_transform(list_zip(n.embedding, sd.sv),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore
+       FROM n CROSS JOIN sd),
+rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, seed_id) AS rn FROM sc),
+bkt AS (SELECT vec_id, embedding, nrm, seed_id AS bucket FROM rk WHERE rn <= 2),
+s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) AS cosine
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       max(cosine) AS cosine
+FROM s WHERE cosine >= 0.98 GROUP BY 1, 2""",
         "text_tokens": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

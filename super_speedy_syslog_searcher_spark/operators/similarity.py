@@ -104,6 +104,72 @@ def seed_scores(emb: DataFrame, k_seeds: int = None) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESHOLD = 0.98
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    nprobe_cells: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cosine >= threshold) via IVF-bucket candidates — never all-pairs.
+
+    Every vector is assigned to its nprobe_cells nearest coarse cells
+    (multi-probe assignment: a near-dup pair straddling a cell
+    boundary still co-occurs in one cell); candidate pairs are the
+    same-cell self-join; exact cosine verifies.  The same-cell join
+    shuffles on the cell id only — at 10^12 vectors the cell id is the
+    Iceberg partition key and each cell's pair set stays local, the
+    bucket-join shape of dedup.minhash_band_pairs.  Thresholding on
+    the 4-decimal-rounded cosine keeps the cut engine-portable.
+    """
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sscore"), F.asc("seed_id")
+    )
+    ranked = (
+        seed_scores(emb)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe_cells)
+        .select(
+            "vec_id",
+            "embedding",
+            "_norm",
+            F.col("seed_id").alias("bucket"),
+        )
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("_norm").alias("na"),
+        "bucket",
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("_norm").alias("nb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(DOT.format(a="va", b="vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        # multi-probe can surface a pair in two shared cells; the
+        # cosine is identical both times, so max == the value
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,

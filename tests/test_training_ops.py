@@ -137,6 +137,28 @@ def test_quality_monotone_in_stopwords(spark):
     assert q[1]["quality_x10k"] > q[2]["quality_x10k"]
 
 
+def test_embedding_near_dups_finds_planted_copies(spark):
+    """Planted scaled copies (identical direction) must be recovered
+    as near-dup pairs with cosine 1.0 via the IVF-bucket candidate
+    path, and nothing else crosses the threshold (organic max pairwise
+    cosine in this corpus is ~0.44)."""
+    emb = _emb(spark).limit(100)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_dups(aug).collect()
+    }
+    want = {(i, i + 10000) for i in range(0, 100, 25)}
+    assert set(pairs) == want
+    assert all(c == 1.0 for c in pairs.values())
+
+
 def test_ivf_recall_at_5(spark):
     """nprobe = N_BITS+1 Hamming-1 cells must recover >= 0.9 of the
     exact cosine top-5 neighbor sets (the judge-facing recall gate for
