@@ -159,46 +159,66 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     mons_ci = {m.lower() for m in MONTHS} | {m.upper() for m in MONTHS}
     first2_digit = prefix.str.slice(0, 2).str.isdigit().fillna(False)
     dow_sp = first3.isin(dows) & (prefix.str.slice(3, 4) == " ")
+    mon_sp = first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " ")
+    # ---- second-level discriminators: with 37 bank entries a shared
+    # coarse mask (8 patterns share `iso`) costs ~8 extracts per row;
+    # these positional checks keep candidates a strict SUPERSET of
+    # true matches (false positives only cost one extract; a false
+    # negative would misroute a row to continuation, so every check
+    # below covers the pattern's full legal width range).
+    iso_t = iso & prefix.str.slice(10, 11).isin(["T", " "])
+    iso_dash = iso & (prefix.str.slice(10, 11) == "-")
+    # tz sign / Zulu live within chars 19..35 for any 0-9-digit frac
+    # (worst case: '.123456789 -0800' puts the sign's digits at 31-32)
+    after = prefix.str.slice(19, 36)
+    has_signed_tz = after.str.contains(r"[+-]\d\d", regex=True, na=False)
+    has_z = after.str.contains("Z", regex=False, na=False)
+    comma19 = prefix.str.slice(19, 20) == ","
+    ampm20 = prefix.str.slice(20, 22).isin(["AM", "PM"])
+    colon9 = prefix.str.slice(9, 10) == ":"  # Mon [d]d hh:  time colon
+    comma6 = prefix.str.slice(6, 7) == ","   # Mon dd, yyyy (JUL)
+    # strace dot sits at 9-11 depending on the 9-11-digit second width
+    dot9_11 = prefix.str.slice(9, 12).str.contains(".", regex=False, na=False)
     return {
-        0: iso,
-        1: iso,
+        0: iso_t & has_signed_tz,
+        1: iso_t,  # catch-all of the ISO cluster (lookaheads reject)
         2: first3.isin(dows) & (prefix.str.slice(3, 5) == ", "),
-        3: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
+        3: mon_sp & colon9,
         4: bracket & (prefix.str.slice(3, 4) == "/"),
         5: first2_digit & (prefix.str.slice(2, 3) == "-"),
         6: prefix.str.startswith("type=", na=False),
-        7: digit0 & ~iso,
+        7: digit0 & ~iso & dot9_11,
         8: bracket,
-        9: iso,
+        9: iso_t & comma19,
         10: (
             prefix.str.slice(0, 4).str.isdigit().fillna(False)
             & (prefix.str.slice(4, 5) == "/")
         ),
         11: first2_digit & (prefix.str.slice(2, 3) == "/"),
         12: prefix.str.slice(0, 8).str.isdigit().fillna(False),
-        13: iso,
+        13: iso_t & has_signed_tz,
         14: digit0 & ~iso,
         15: prefix.str.slice(0, 13).str.isdigit().fillna(False),
         16: dow_sp,
         17: first3.isin(mons_ci) & (prefix.str.slice(3, 4) == " "),
         18: first2_digit & (prefix.str.slice(2, 3) == "/"),
         19: first2_digit & (prefix.str.slice(2, 3) == "."),
-        20: iso,
+        20: iso_t,
         21: c0 == "<",
-        22: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
+        22: mon_sp & ~colon9,
         23: first2_digit & (prefix.str.slice(2, 3) == "-"),
-        24: bracket,
-        25: iso,
+        24: bracket & prefix.str.slice(1, 4).isin(dows),
+        25: iso_t & ampm20,
         26: prefix.str.slice(0, 16).str.isdigit().fillna(False),
         27: dow_sp,
-        28: bracket,
-        29: iso,
-        30: bracket,
+        28: bracket & (prefix.str.slice(5, 6) == "-"),
+        29: iso_t & has_z,
+        30: bracket & prefix.str.slice(1, 10).str.isdigit().fillna(False),
         31: c0 == "#",
         32: first2_digit & (prefix.str.slice(2, 3) == " "),
-        33: first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " "),
-        34: bracket,
-        35: iso,
+        33: first3.isin(MONTHS) & comma6,
+        34: bracket & (prefix.str.slice(5, 6) == "-"),
+        35: iso_dash,
         36: (
             prefix.str.slice(0, 8).str.isdigit().fillna(False)
             & (prefix.str.slice(8, 9) == " ")
