@@ -102,6 +102,11 @@ EXT_FAMS = [
     ("bracketed_iso_tz", 34, 1, 25, "t0"),
     ("ymd_dash_time", 35, 0, 19, "t0"),
     ("compact_ymd_space", 36, 0, 15, "t0"),
+    # -- round-2 third batch (fams 39-41; bank 40 gc_uptime_s is
+    # bank-only — one uptime family keeps the boot-anchor CTE simple)
+    ("unix_date_tz", 37, 0, 28, "t0"),
+    ("apache_nobracket", 38, 0, 26, "t0"),
+    ("iso_tz_hour", 39, 0, 22, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -214,12 +219,16 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
     offmin = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 330 ELSE -660 END)"
     offstr = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+0000' WHEN 1 THEN '-0800' WHEN 2 THEN '+0530' ELSE '-1100' END)"
     offstr_colon = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+00:00' WHEN 1 THEN '-08:00' WHEN 2 THEN '+05:30' ELSE '-11:00' END)"
+    # hour-only offsets (fam 41 / pattern 39 iso_tz_hour)
+    offminh = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 300 ELSE -660 END)"
+    offstr_h = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+00' WHEN 1 THEN '-08' WHEN 2 THEN '+05' ELSE '-11' END)"
     tzname = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 'UTC' WHEN 1 THEN 'PST' WHEN 2 THEN 'IST' ELSE 'CET' END)"
     tznameoff = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 330 ELSE 60 END)"
 
     # -- family prefixes (all ASCII => char offsets == byte offsets) ---
     l0 = "(t0us + CAST(offmin AS BIGINT) * 60000000)"  # local wall-clock, fams 0/4
     l3 = "(t0us + CAST(tznameoff AS BIGINT) * 60000000)"  # local wall-clock, fam 2
+    l2 = "(t0us + CAST(offminh AS BIGINT) * 60000000)"  # hour-only tz, fam 41
     sec10 = d.s(d.idiv("eus", "1000000"))
     frac6 = f"lpad({d.s('eus % 1000000')}, 6, '0')"
     ms3 = f"lpad({d.s(d.idiv('eus % 1000000', '1000'))}, 3, '0')"
@@ -304,6 +313,16 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
             f"{year_s(t0)} || {dp(t0, 'month')} || {dp(t0, 'day')} || ' '"
             f" || {dp(t0, 'hour')} || {dp(t0, 'minute')} || {dp(t0, 'second')}"
         ),
+        # -- round-2 third batch (fams 39-41) ---------------------------
+        39: (
+            f"{dow(l3)} || ' ' || {mon(l3)} || ' ' || lpad({day_s(l3)}, 2, ' ')"
+            f" || ' ' || {time8(l3)} || ' ' || tzname || ' ' || {year_s(l3)}"
+        ),
+        40: (
+            f"{p2(day_l0)} || '/' || {mon(l0)} || '/' || {year_s(l0)}"
+            f" || ':' || {time8(l0)} || ' ' || offstr"
+        ),
+        41: f"{date_iso(l2)} || 'T' || {time8(l2)} || offstr_h",
     }
     prefix_case = "CASE fam " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in prefixes.items()
@@ -363,6 +382,7 @@ WITH base AS (
 ), fam AS (
   SELECT *, {fam} AS fam, {offmin} AS offmin, {offstr} AS offstr,
          {offstr_colon} AS offstr_colon,
+         {offminh} AS offminh, {offstr_h} AS offstr_h,
          {tzname} AS tzname, {tznameoff} AS tznameoff
   FROM conv
 ), boot AS (

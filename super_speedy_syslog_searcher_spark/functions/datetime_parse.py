@@ -40,9 +40,11 @@ RESULT_FIELDS = (
 
 
 def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
-    """'+0530' / '-08:00' / 'Z' → signed minutes."""
+    """'+0530' / '-08:00' / '+08' / 'Z' → signed minutes."""
     tz = tz.str.replace(":", "", regex=False)
     tz = tz.where(~tz.isin(["Z", "z"]), "+0000")  # RFC3339 Zulu
+    # bare-hours offsets (pattern 39 '+08') zero-fill the minutes
+    tz = tz.str.pad(5, side="right", fillchar="0")
     sign = np.where(tz.str.slice(0, 1) == "-", -1, 1)
     mins = (
         tz.str.slice(1, 3).astype("int64") * 60
@@ -75,7 +77,9 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
     fast path), never by string formatting + strptime.
     """
     if p.kind == "uptime":
-        up = g["us_"].astype("int64") * 1_000_000 + g["f"].astype("int64")
+        # _frac_us right-pads sub-6-digit fractions (gc_uptime_s has
+        # ms precision); identical to the raw int for 6-digit dmesg
+        up = g["us_"].astype("int64") * 1_000_000 + _frac_us(g["f"])
         return pd.Series(pd.NaT, index=g.index, dtype="datetime64[ns]"), up
 
     if p.kind == "epoch":
@@ -223,6 +227,10 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
             prefix.str.slice(0, 8).str.isdigit().fillna(False)
             & (prefix.str.slice(8, 9) == " ")
         ),
+        37: dow_sp,
+        38: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        39: iso_t & has_signed_tz,
+        40: bracket,
     }
 
 

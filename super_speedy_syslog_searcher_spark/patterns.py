@@ -117,7 +117,7 @@ PATTERNS: list[Pattern] = [
         # parse is equivalent to strict bank order.
         r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
         r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
-        rf"(?![.\dZ+,-])(?! ?[+-]\d{{4}})(?! [AP]M\b)(?! (?:{_TZN_ALT})\b)",
+        rf"(?![.\dZ+,-])(?! ?[+-]\d{{2}})(?! [AP]M\b)(?! (?:{_TZN_ALT})\b)",
         "ymd",
         tests=[
             ("2020-01-02T03:04:05 rest", "2020-01-02 03:04:05", 0, 19),
@@ -396,8 +396,11 @@ PATTERNS: list[Pattern] = [
     ),
     Pattern(
         27, "ctime_noyear",  # Mon Jan  2 15:04:05 (no trailing year)
+        # second lookahead keeps this disjoint from unix_date_tz (37):
+        # 'Fri Jan  5 03:04:05 UTC 2024' must fall through
         rf"^(?P<dt>(?:{_DOW_ALT}) (?P<b>{_MON_ALT}) (?P<D>[ \d]\d) "
-        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))(?! \d{{4}})",
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))(?! \d{{4}})"
+        rf"(?! (?:{_TZN_ALT}) \d{{4}})",
         "mon_name",
         noyear=True,
         tests=[
@@ -499,6 +502,55 @@ PATTERNS: list[Pattern] = [
         "ymd",
         tests=[
             ("20240105 030405 snapshot ok", "2024-01-05 03:04:05", 0, 15),
+        ],
+    ),
+    # ---- round-2 third batch (ids stable, append-only) --------------
+    Pattern(
+        37, "unix_date_tz",  # unix date(1): Fri Jan  5 03:04:05 UTC 2024
+        # ctime_noyear (27) excludes the ' TZN YYYY' tail by lookahead
+        rf"^(?P<dt>(?:{_DOW_ALT}) (?P<b>{_MON_ALT}) (?P<D>[ \d]\d) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) "
+        rf"(?P<tzn>{_TZN_ALT}) (?P<Y>\d{{4}}))\b",
+        "mon_name",
+        tests=[
+            ("Fri Jan  5 03:04:05 UTC 2024 up", "2024-01-05 03:04:05", 0, 28),
+            ("Fri Jan  5 03:04:05 PST 2024 x", "2024-01-05 11:04:05", 0, 28),
+        ],
+    ),
+    Pattern(
+        38, "apache_nobracket",  # DD/Mon/YYYY:HH:MM:SS ±zzzz, no []
+        rf"^(?P<dt>(?P<D>\d{{2}})/(?P<b>{_MON_ALT})/(?P<Y>\d{{4}}):"
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) (?P<tz>[+-]\d{{4}}))\b",
+        "mon_name",
+        tests=[
+            ("05/Jan/2024:03:04:05 +0000 GET /", "2024-01-05 03:04:05", 0, 26),
+            ("05/Jan/2024:03:04:05 -0800 GET /", "2024-01-05 11:04:05", 0, 26),
+        ],
+    ),
+    Pattern(
+        39, "iso_tz_hour",  # ISO with bare-hours offset: ...+08
+        # pattern 1's lookahead excludes any ±\d\d suffix, so these
+        # fall through; the trailing lookahead rejects ±hhmm / ±hh:mm
+        # prefixes (those belong to 0 / 13), keeping the bank disjoint.
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r" ?(?P<tz>[+-]\d{2}))(?![\d:])",
+        "ymd",
+        tests=[
+            ("2024-01-05T03:04:05+08 x", "2024-01-04 19:04:05", 0, 22),
+            ("2024-01-05 03:04:05.5-11 y", "2024-01-05 14:04:05.500000", 0, 24),
+        ],
+    ),
+    Pattern(
+        40, "gc_uptime_s",  # JVM GC log: [12345.123s] (bank-only:
+        # the synthetic corpus keeps one uptime family (8) because the
+        # boot-anchor derivation is per-conv; embedded tests cover this)
+        r"^(?P<pre>\[)(?P<dt>(?P<us_>\d{1,9})\.(?P<f>\d{3}))s\]",
+        "uptime",
+        dt_beg=None,
+        tests=[
+            ("[12345.123s] GC pause young", 12345123000, 1, 10),
+            ("[0.004s] Using G1", 4000, 1, 6),
         ],
     ),
 ]

@@ -111,6 +111,13 @@ def test_winner_first_equals_bank_order():
             "2024-01-05-03:04:05 dash-time",           # pattern 35
             "20240105 030405 compact-space",           # pattern 36
             "20240105T030405 compact-T",               # pattern 12
+            "Fri Jan  5 03:04:05 UTC 2024 date-tz",    # pattern 37
+            "[05/Jan/2024:03:04:05 +0000] access",     # pattern 4
+            "05/Jan/2024:03:04:05 +0000 no-bracket",   # pattern 38
+            "2024-01-05T03:04:05+08 hour-tz",          # pattern 39
+            "2024-01-05T03:04:05+0800 full-tz",        # pattern 0
+            "2024-01-05T03:04:05+08:00 colon-tz",      # pattern 13
+            "[12345.123s] gc uptime",                  # pattern 40
             "  at continuation frame 12",              # none
         ]
     )
