@@ -34,7 +34,7 @@ families exercise one bank entry, e.g. bare/fractional epoch):
   6   rh_audit_epoch    type=USER_ACCT msg=audit(1704423845.123:7): ere_datetimes_impl.rs:4661
   7   strace_epoch      1704423845.123456                           ere_datetimes_impl.rs:4680
   8   dmesg_uptime      [12345.123456]                              ere_datetimes_impl.rs:5849
-  9-38 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
+  9-43 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
                         ctime ± year, lowercase months, day-first dates,
                         named-tz ISO, RFC5424, logcat, apache_error,
                         12-hour clocks, bracketed ISO ± tz, ns fractions,
@@ -107,6 +107,10 @@ EXT_FAMS = [
     ("unix_date_tz", 37, 0, 28, "t0"),
     ("apache_nobracket", 38, 0, 26, "t0"),
     ("iso_tz_hour", 39, 0, 22, "t0"),
+    # -- round-2 fourth batch (fams 42-43; bank 42 full_month_dmy is
+    # bank-only — 'DD May YYYY' would be corpus-ambiguous with 32)
+    ("iso_minute", 41, 0, 16, "m0"),
+    ("win_cbs", 43, 0, 19, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -323,6 +327,12 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
             f" || ':' || {time8(l0)} || ' ' || offstr"
         ),
         41: f"{date_iso(l2)} || 'T' || {time8(l2)} || offstr_h",
+        # -- round-2 fourth batch (fams 42-43) --------------------------
+        42: (
+            f"{date_iso(t0)} || ' ' || {dp(t0, 'hour')}"
+            f" || ':' || {dp(t0, 'minute')}"
+        ),
+        43: f"{date_iso(t0)} || ' ' || {time8(t0)} || ', Info CBS'",
     }
     prefix_case = "CASE fam " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in prefixes.items()
@@ -338,13 +348,16 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
 
     # -- expected parse results (by construction, FAM_* tables) --------
     ms_trunc = d.from_us(f"({d.idiv('eus', '1000')} * 1000)")
+    m0_trunc = d.from_us(f"({d.idiv('t0us', '60000000')} * 60000000)")
     us_fams = ",".join(str(i) for i, k in enumerate(FAM_KINDS) if k == "us")
     ms_fams = ",".join(str(i) for i, k in enumerate(FAM_KINDS) if k == "ms")
+    m0_fams = ",".join(str(i) for i, k in enumerate(FAM_KINDS) if k == "m0")
     ts_parsed_exp = (
         f"CASE WHEN fam = {FAM_CONT} THEN NULL "
         f"WHEN fam IN ({us_fams}) THEN {d.from_us('eus')} "
         f"WHEN fam IN ({ms_fams}) THEN {ms_trunc} "
-        f"ELSE {d.from_us('t0us')} END"
+        + (f"WHEN fam IN ({m0_fams}) THEN {m0_trunc} " if m0_fams else "")
+        + f"ELSE {d.from_us('t0us')} END"
     )
     beg_whens = " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(FAM_BEGS))
     dt_beg_exp = (

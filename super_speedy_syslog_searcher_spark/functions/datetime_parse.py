@@ -29,6 +29,7 @@ from ..patterns import (
     CONTINUATION_SINK,
     MAX_SCAN,
     MONTHS,
+    MONTHS_FULL,
     PATTERNS,
     TZ_OFFSET_MIN,
 )
@@ -66,6 +67,7 @@ def _frac_us(frac: pd.Series) -> pd.Series:
 
 
 MONTH_NUM = {k: int(v) for k, v in MONTHS.items()}
+MONTH_FULL_NUM = {k: int(v) for k, v in MONTHS_FULL.items()}
 
 
 def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
@@ -96,10 +98,14 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
 
     # ymd / mon_name / mdy12 / mon12 — component source is capture-
-    # group-driven: 'b' = month name, 'h12'+'ampm' = 12-hour clock
+    # group-driven: 'b' = abbreviated month name, 'bf' = full month
+    # name (%B), 'h12'+'ampm' = 12-hour clock, missing 's' = minute
+    # resolution (second defaults to 0)
     if "b" in g.columns:
         # capitalize folds 'jan'/'JAN' (pattern 17) onto the map
         month = g["b"].str.capitalize().map(MONTH_NUM)
+    elif "bf" in g.columns:
+        month = g["bf"].map(MONTH_FULL_NUM)
     else:
         month = g["M"].astype("int64")
     if "h12" in g.columns:  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
@@ -120,7 +126,9 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             "day": day,
             "hour": hour,
             "minute": g["mi"].astype("int64"),
-            "second": g["s"].astype("int64"),
+            "second": (
+                g["s"].astype("int64") if "s" in g.columns else 0
+            ),
         }
     )
     # coerce: an out-of-range component (month 13, day 32) must mean
@@ -231,6 +239,9 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         38: first2_digit & (prefix.str.slice(2, 3) == "/"),
         39: iso_t & has_signed_tz,
         40: bracket,
+        41: iso_t,
+        42: first2_digit & (prefix.str.slice(2, 3) == " "),
+        43: iso_t & comma19,
     }
 
 

@@ -59,7 +59,19 @@ TZ_OFFSET_MIN = {
     "NZST": 720, "NZDT": 780,
 }
 
+MONTHS_FULL = {
+    "January": "01", "February": "02", "March": "03", "April": "04",
+    "May": "05", "June": "06", "July": "07", "August": "08",
+    "September": "09", "October": "10", "November": "11", "December": "12",
+}
+
 _MON_ALT = "|".join(MONTHS)
+# 'May' is excluded: it is both the full and the abbreviated spelling,
+# so a 'DD May YYYY' line is *indistinguishable* from dd_mon_yyyy (32)
+# and first-match-wins must give it to 32 (disjointness invariant).
+_MON_FULL_ALT = "|".join(
+    sorted((m for m in MONTHS_FULL if m != "May"), key=len, reverse=True)
+)
 _DOW_ALT = "Mon|Tue|Wed|Thu|Fri|Sat|Sun"
 _TZN_ALT = "|".join(sorted(TZ_OFFSET_MIN, key=len, reverse=True))
 # lowercase/UPPERCASE month spellings ONLY — exact Title-case is
@@ -551,6 +563,44 @@ PATTERNS: list[Pattern] = [
         tests=[
             ("[12345.123s] GC pause young", 12345123000, 1, 10),
             ("[0.004s] Using G1", 4000, 1, 6),
+        ],
+    ),
+    # ---- round-2 fourth batch (ids stable, append-only) --------------
+    Pattern(
+        41, "iso_minute",  # minute-resolution ISO: YYYY-MM-DD HH:MM
+        # every other ISO family requires :ss, so these fall through;
+        # the lookahead rejects second/fraction/digit continuations.
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}))(?![:.\d])",
+        "ymd",
+        tests=[
+            ("2024-01-05 03:04 backup start", "2024-01-05 03:04:00", 0, 16),
+            ("2024-01-05T03:04 cron", "2024-01-05 03:04:00", 0, 16),
+        ],
+    ),
+    Pattern(
+        42, "full_month_dmy",  # %B: 05 January 2024 03:04:05 (bank-only:
+        # 'DD May YYYY' would be corpus-ambiguous with dd_mon_yyyy, so
+        # the synthetic corpus does not emit this family; embedded
+        # tests cover it)
+        rf"^(?P<dt>(?P<D>\d{{2}}) (?P<bf>{_MON_FULL_ALT}) (?P<Y>\d{{4}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}))",
+        "mon_name",
+        tests=[
+            ("05 January 2024 03:04:05 msg", "2024-01-05 03:04:05", 0, 24),
+            ("31 December 2023 23:59:59 y", "2023-12-31 23:59:59", 0, 25),
+        ],
+    ),
+    Pattern(
+        43, "win_cbs",  # Windows CBS.log: ISO secs + ', Info CBS ...'
+        # pattern 1's catch-all lookahead excludes a trailing comma and
+        # iso_comma_frac (9) requires digits after it, so ', <word>'
+        # lines land here; the comma stays outside the dt span.
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})[T ]"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))(?=, )",
+        "ymd",
+        tests=[
+            ("2024-01-05 03:04:05, Info CBS Starting", "2024-01-05 03:04:05", 0, 19),
         ],
     ),
 ]

@@ -118,6 +118,12 @@ def test_winner_first_equals_bank_order():
             "2024-01-05T03:04:05+0800 full-tz",        # pattern 0
             "2024-01-05T03:04:05+08:00 colon-tz",      # pattern 13
             "[12345.123s] gc uptime",                  # pattern 40
+            "2024-01-05 03:04 minute-res",             # pattern 41
+            "05 January 2024 03:04:05 full-month",     # pattern 42
+            "05 Jan 2024 03:04:05 abbrev-month",       # pattern 32
+            "05 May 2024 03:04:05 may-is-abbrev",      # pattern 32
+            "2024-01-05 03:04:05, Info CBS start",     # pattern 43
+            "2024-01-05 03:04:05,123 comma-frac",      # pattern 9
             "  at continuation frame 12",              # none
         ]
     )
