@@ -87,9 +87,11 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         timings[name] = round(best, 3)
 
     # headline: parse → repair → assemble → dt-filter → global merge
-    def _run_merge():
+    def _run_merge(freeze: bool = False):
         stg: list = []
-        _noop_write(P.full_merge(t, DT_AFTER, DT_BEFORE, staging=stg))
+        _noop_write(
+            P.full_merge(t, DT_AFTER, DT_BEFORE, staging=stg, freeze=freeze)
+        )
         for s in stg:
             s.unpersist(blocking=True)
 
@@ -102,6 +104,7 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         # the frozen pre-pass is a measured slowdown on scattered
         # batches — identical output, kept for conv-bucketed layouts)
         "parse_frozen": lambda: _noop_write(P.parse_repair(t, freeze=True)),
+        "parse_merge_frozen": lambda: _run_merge(freeze=True),
         "sink_counts": lambda: stats.sink_counts(P.assembled(t, narrow=True)).collect(),
         "hourly_hist": lambda: stats.hourly_histogram(
             P.assembled(t, narrow=True)

@@ -20,6 +20,12 @@ Prepend parity (README.md:746-748, s4.rs:6282-6299): ``-u`` UTC
 stamp, ``-z TZ`` arbitrary-offset/named-tz stamp, ``-l`` source
 (conv) prefix, ``-w`` width-aligns the source column, ``--separator``
 decodes backslash escapes (``\\t``, ``\\x00``, …).
+
+Output formats (``--format``): the reference's JournalReader renders
+journalctl-compatible output formats (src/readers/journalreader.rs:
+1705); here each mode is one projection expression evaluated
+distributed — ``jsonl`` (= journalctl -o json) via ``to_json(struct)``,
+``cat`` (message text only), ``default`` (text + requested prepends).
 """
 
 from __future__ import annotations
@@ -183,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-w", "--prepend-align", action="store_true",
                     help="width-align the prepended conv column (s4 -w)")
     ap.add_argument("--separator", default=" ")
+    ap.add_argument("--format", dest="out_format", default="default",
+                    choices=("default", "jsonl", "cat"),
+                    help="output rendering (s4's JournalReader renders "
+                         "journalctl-compatible formats; here each mode "
+                         "is a projection expression): default = text "
+                         "with requested prepends, jsonl = one JSON "
+                         "object per row, cat = bare text, no prepends")
     ap.add_argument("--summary", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
@@ -215,7 +228,35 @@ def main(argv: list[str] | None = None) -> int:
         before.isoformat(sep=" ") if before else None,
     )
     sep = decode_separator(args.separator)
+    if args.out_format == "jsonl":
+        # journalctl -o json analogue: a to_json projection, rendered
+        # distributed (one JVM-side expression, no driver formatting)
+        lines = merged.select(
+            F.to_json(
+                F.struct(
+                    F.date_format("ts_eff", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                        "ts"
+                    ),
+                    "conv_id",
+                    "turn_idx",
+                    "role",
+                    "tool",
+                    "text",
+                )
+            ).alias("line")
+        )
+        n = 0
+        for row in (lines.limit(args.limit) if args.limit else lines).toLocalIterator():
+            sys.stdout.write(row["line"] + "\n")
+            n += 1
+        spark.stop()
+        return 0
     out = F.col("text")
+    if args.out_format == "cat":
+        # journalctl -o cat analogue: message text only, no prepends
+        args.prepend_conv = False
+        args.prepend_utc = False
+        args.prepend_tz = None
     if args.prepend_conv:
         conv = F.concat(F.col("conv_id"), F.lit(":"))
         if args.prepend_align:

@@ -51,9 +51,12 @@ def parse_repair(
 
 
 def assembled(
-    df: DataFrame, anchor_year: int = 2024, narrow: bool = False
+    df: DataFrame,
+    anchor_year: int = 2024,
+    narrow: bool = False,
+    freeze: bool = False,
 ) -> DataFrame:
-    return assemble_stage(parse_repair(df, anchor_year, narrow))
+    return assemble_stage(parse_repair(df, anchor_year, narrow, freeze))
 
 
 def full_merge(
@@ -64,6 +67,7 @@ def full_merge(
     num_partitions: int | None = None,
     persist_before_sort: bool = True,
     staging: list | None = None,
+    freeze: bool = False,
 ) -> DataFrame:
     """persist_before_sort: a global sort range-partitions by sampling
     its child, which would re-run the parse UDF and window stages a
@@ -74,7 +78,7 @@ def full_merge(
     files) vs no-persist 11-17s.  At 10^12 rows the same role is
     played by the routed Iceberg sink staging table
     (route.write_routed) — sort from columnar storage, parse once."""
-    out = assembled(df)
+    out = assembled(df, freeze=freeze)
     if enrich:
         out = enrich_stage(out)
     else:

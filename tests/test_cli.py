@@ -153,3 +153,38 @@ def test_cli_align_tz_separator():
         assert conv.startswith("conv-")
         widths.add(len(conv))  # -w: every conv field padded equal
     assert len(widths) == 1
+
+
+def test_cli_format_jsonl():
+    """--format jsonl: journalctl -o json analogue — one JSON object
+    per merged row, rendered by a distributed to_json projection."""
+    import json as _json
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            "/root/testdata/sf0.001",
+            "-a",
+            "2024-01-10",
+            "-b",
+            "@+5d",
+            "--format",
+            "jsonl",
+            "--limit",
+            "15",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 15
+    rows = [_json.loads(ln) for ln in lines]
+    for r in rows:
+        assert set(r) >= {"ts", "conv_id", "turn_idx", "role", "text"}
+    stamps = [r["ts"] for r in rows]
+    assert stamps == sorted(stamps)
