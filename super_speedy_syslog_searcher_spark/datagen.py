@@ -111,6 +111,7 @@ EXT_FAMS = [
     # bank-only — 'DD May YYYY' would be corpus-ambiguous with 32)
     ("iso_minute", 41, 0, 16, "m0"),
     ("win_cbs", 43, 0, 19, "t0"),
+    ("mdy_slash_yy", 44, 0, 17, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -333,6 +334,11 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
             f" || ':' || {dp(t0, 'minute')}"
         ),
         43: f"{date_iso(t0)} || ' ' || {time8(t0)} || ', Info CBS'",
+        44: (
+            f"{dp(t0, 'month')} || '/' || {dp(t0, 'day')} || '/'"
+            f" || lpad({d.s(f'(year({d.from_us(t0)}) % 100)')}, 2, '0')"
+            f" || ' ' || {time8(t0)}"
+        ),
     }
     prefix_case = "CASE fam " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in prefixes.items()

@@ -113,11 +113,15 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         hour = h12 + np.where(g["ampm"] == "PM", 12, 0)
     else:
         hour = g["h"].astype("int64")
-    year = (
-        pd.Series(anchor_year, index=g.index)
-        if p.noyear
-        else g["Y"].astype("int64")
-    )
+    if "y2" in g.columns:  # chrono %y pivot: 00-68 -> 20xx, 69-99 -> 19xx
+        y2 = g["y2"].astype("int64")
+        year = pd.Series(
+            np.where(y2 <= 68, 2000 + y2, 1900 + y2), index=g.index
+        )
+    elif p.noyear:
+        year = pd.Series(anchor_year, index=g.index)
+    else:
+        year = g["Y"].astype("int64")
     day = g["D"].str.replace(" ", "").astype("int64")  # 'Jan  1' pad
     comp = pd.DataFrame(
         {
@@ -242,6 +246,7 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         41: iso_t,
         42: first2_digit & (prefix.str.slice(2, 3) == " "),
         43: iso_t & comma19,
+        44: first2_digit & (prefix.str.slice(2, 3) == "/"),
     }
 
 

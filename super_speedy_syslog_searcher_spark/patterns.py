@@ -603,6 +603,19 @@ PATTERNS: list[Pattern] = [
             ("2024-01-05 03:04:05, Info CBS Starting", "2024-01-05 03:04:05", 0, 19),
         ],
     ),
+    Pattern(
+        44, "mdy_slash_yy",  # %y 2-digit year: 01/05/24 03:04:05
+        # disjoint from the 4-digit-year slash families by construction
+        # (their year digits collide with this one's required space);
+        # y2 maps through chrono's %y pivot (<=68 -> 20xx, else 19xx).
+        r"^(?P<dt>(?P<M>\d{2})/(?P<D>\d{2})/(?P<y2>\d{2}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))(?! [AP]M\b)",
+        "ymd",
+        tests=[
+            ("01/05/24 03:04:05 event ok", "2024-01-05 03:04:05", 0, 17),
+            ("12/31/99 23:59:59 y2k-eve", "1999-12-31 23:59:59", 0, 17),
+        ],
+    ),
 ]
 
 CONTINUATION_SINK = "continuation"

@@ -124,6 +124,8 @@ def test_winner_first_equals_bank_order():
             "05 May 2024 03:04:05 may-is-abbrev",      # pattern 32
             "2024-01-05 03:04:05, Info CBS start",     # pattern 43
             "2024-01-05 03:04:05,123 comma-frac",      # pattern 9
+            "01/05/24 03:04:05 two-digit-year",        # pattern 44
+            "01/05/2024 03:04:05 four-digit dmy",      # pattern 18
             "  at continuation frame 12",              # none
         ]
     )

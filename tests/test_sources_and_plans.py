@@ -154,3 +154,43 @@ def test_utf16_roundtrip_full_pipeline(spark, tmp_path):
     assert str(u16[2]["ts_eff"]) == "2024-01-05 03:05:06"
     u32 = [r for r in rows if "u32" in r["conv_id"]]
     assert len(u32) == 1 and str(u32[0]["ts_parsed"]) == "2024-01-05 04:00:00"
+
+
+def test_near_dup_join_is_bucket_keyed(spark):
+    """The embedding near-dup CANDIDATE join must key on the coarse
+    cell id (an equi-join node with bucket in its keys) — never an
+    all-pairs shape.  The only permitted non-equi join is the
+    seed-scoring broadcast of the constant-size (K_SEEDS-row) centroid
+    table inside seed_scores: that one appears twice (both self-join
+    branches rank against the seeds) and is O(N * 16) work by
+    construction, not O(N^2)."""
+    from super_speedy_syslog_searcher_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plans.explain_str(similarity.embedding_near_dups(emb))
+    assert "CartesianProduct" not in plan
+    # the candidate pair join is an equi-join keyed on bucket
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "bucket" in plan
+    # seed broadcasts only: every nested-loop join must sit on top of a
+    # BroadcastExchange (the 16-row centroid side), never two big
+    # sides.  formatted explain prints each node twice (header +
+    # detail), so 2 unique BNLJ nodes -> 4 mentions.
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 4 and plan.count("BroadcastExchange") >= n_bnlj
+
+
+def test_lsh_verified_join_has_no_shingle_self_join(spark):
+    """dedup.lsh_verified_pairs: candidate scope comes from MinHash
+    bands; the verify joins shingle sets per candidate doc pair, so no
+    cartesian/nested-loop join may appear (the hot-shingle quadratic
+    join was round-1's scale defect)."""
+    from super_speedy_syslog_searcher_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.explain_str(dedup.lsh_verified_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
