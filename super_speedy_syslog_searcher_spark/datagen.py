@@ -112,6 +112,13 @@ EXT_FAMS = [
     ("iso_minute", 41, 0, 16, "m0"),
     ("win_cbs", 43, 0, 19, "t0"),
     ("mdy_slash_yy", 44, 0, 17, "t0"),
+    # -- round-2 fifth batch (fams 45-49; shapes mined from the
+    # reference's DTPD test cases)
+    ("slash_ymd_numtz", 45, 0, 25, "t0"),
+    ("slash_ymd_namedtz", 46, 0, 23, "t0"),
+    ("commonlog_apache", 47, 17, 43, "t0"),
+    ("slash_ymd_dashtime", 48, 0, 19, "t0"),
+    ("iso_dashtime", 49, 0, 19, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -338,6 +345,29 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
             f"{dp(t0, 'month')} || '/' || {dp(t0, 'day')} || '/'"
             f" || lpad({d.s(f'(year({d.from_us(t0)}) % 100)')}, 2, '0')"
             f" || ' ' || {time8(t0)}"
+        ),
+        # -- round-2 fifth batch (fams 45-49) ---------------------------
+        45: (
+            f"{year_s(l0)} || '/' || {dp(l0, 'month')} || '/' || {dp(l0, 'day')}"
+            f" || ' ' || {time8(l0)} || ' ' || offstr"
+        ),
+        46: (
+            f"{year_s(l3)} || '/' || {dp(l3, 'month')} || '/' || {dp(l3, 'day')}"
+            f" || ' ' || {time8(l3)} || ' ' || tzname"
+        ),
+        47: (
+            f"'192.168.0.' || {d.s('u % 10')} || ' - - [' || {p2(day_l0)}"
+            f" || '/' || {mon(l0)} || '/' || {year_s(l0)} || ':' || {time8(l0)}"
+            f" || ' ' || offstr || ']'"
+        ),
+        48: (
+            f"{year_s(t0)} || '/' || {dp(t0, 'month')} || '/' || {dp(t0, 'day')}"
+            f" || ' ' || {dp(t0, 'hour')} || '-' || {dp(t0, 'minute')}"
+            f" || '-' || {dp(t0, 'second')}"
+        ),
+        49: (
+            f"{date_iso(t0)} || ' ' || {dp(t0, 'hour')} || '-'"
+            f" || {dp(t0, 'minute')} || '-' || {dp(t0, 'second')}"
         ),
     }
     prefix_case = "CASE fam " + " ".join(

@@ -184,6 +184,10 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     # below covers the pattern's full legal width range).
     iso_t = iso & prefix.str.slice(10, 11).isin(["T", " "])
     iso_dash = iso & (prefix.str.slice(10, 11) == "-")
+    slash4 = (
+        prefix.str.slice(0, 4).str.isdigit().fillna(False)
+        & (prefix.str.slice(4, 5) == "/")
+    )
     # tz sign / Zulu live within chars 19..35 for any 0-9-digit frac
     # (worst case: '.123456789 -0800' puts the sign's digits at 31-32)
     after = prefix.str.slice(19, 36)
@@ -206,10 +210,7 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         7: digit0 & ~iso & dot9_11,
         8: bracket,
         9: iso_t & comma19,
-        10: (
-            prefix.str.slice(0, 4).str.isdigit().fillna(False)
-            & (prefix.str.slice(4, 5) == "/")
-        ),
+        10: slash4,
         11: first2_digit & (prefix.str.slice(2, 3) == "/"),
         12: prefix.str.slice(0, 8).str.isdigit().fillna(False),
         13: iso_t & has_signed_tz,
@@ -247,6 +248,11 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         42: first2_digit & (prefix.str.slice(2, 3) == " "),
         43: iso_t & comma19,
         44: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        45: slash4 & has_signed_tz,
+        46: slash4,
+        47: prefix.str.contains(" [", regex=False, na=False),
+        48: slash4,
+        49: iso_t,
     }
 
 

@@ -231,8 +231,14 @@ PATTERNS: list[Pattern] = [
     ),
     Pattern(
         10, "slash_ymd",  # nginx-error style YYYY/MM/DD (+opt frac)
+        # trailing lookaheads: tz-suffixed slash dates belong to the
+        # appended 45 (numeric) / 46 (named) — parsing them here would
+        # silently drop the offset (wrong instant, s4 applies it)
         r"^(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
-        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)",
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
+        # (?![.\d]) first: without it the greedy frac backtracks one
+        # digit to slip past the tz lookaheads (dt would end mid-frac)
+        rf"(?![.\d])(?! ?[+-]\d{{2}})(?! (?:{_TZN_ALT})\b)",
         "ymd",
         tests=[
             ("2020/01/02 03:04:05 [error] 1#1", "2020-01-02 03:04:05", 0, 19),
@@ -614,6 +620,66 @@ PATTERNS: list[Pattern] = [
         tests=[
             ("01/05/24 03:04:05 event ok", "2024-01-05 03:04:05", 0, 17),
             ("12/31/99 23:59:59 y2k-eve", "1999-12-31 23:59:59", 0, 17),
+        ],
+    ),
+    # ---- round-2 fifth batch (ids stable, append-only; shapes mined
+    # from the reference's DTPD test cases, ere_datetimes_impl.rs) ----
+    Pattern(
+        45, "slash_ymd_numtz",  # 2000/01/02 00:00:02(.123) -1100|−08|+05:30
+        r"^(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r" ?(?P<tz>[+-]\d{2}(?::?\d{2})?))(?![\d:])",
+        "ymd",
+        tests=[
+            ("2024/01/05 03:04:05 -0800 a", "2024-01-05 11:04:05", 0, 25),
+            ("2024/01/05 03:04:05.123 -08 b", "2024-01-05 11:04:05.123000", 0, 27),
+        ],
+    ),
+    Pattern(
+        46, "slash_ymd_namedtz",  # 2000/01/05 00:00:05 PETT
+        rf"^(?P<dt>(?P<Y>\d{{4}})/(?P<M>\d{{2}})/(?P<D>\d{{2}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}})(?:\.(?P<f>\d{{1,9}}))?"
+        rf" (?P<tzn>{_TZN_ALT}))\b",
+        "ymd",
+        tests=[
+            ("2024/01/05 03:04:05 PST event", "2024-01-05 11:04:05", 0, 23),
+        ],
+    ),
+    Pattern(
+        47, "commonlog_apache",  # 192.168.0.8 - - [07/Mar/2020:06:30:43 -0800]
+        # the one non-line-anchored family: s4's range_regex scans a
+        # bounded prefix REGION, not byte 0 — the common-log host/ident/
+        # user tokens precede the bracketed datetime (DTPD test cases
+        # '192.168.0.8 - - [...]', ere_datetimes_impl.rs)
+        rf"^(?P<pre>\S+ \S+ \S+ \[)(?P<dt>(?P<D>\d{{2}})/(?P<b>{_MON_ALT})/"
+        rf"(?P<Y>\d{{4}}):(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}})"
+        rf" (?P<tz>[+-]\d{{4}}))\]",
+        "mon_name",
+        dt_beg=None,
+        tests=[
+            (
+                '192.168.0.8 - - [05/Jan/2024:03:04:05 -0800] "GET /"',
+                "2024-01-05 11:04:05", 17, 43,
+            ),
+        ],
+    ),
+    Pattern(
+        48, "slash_ymd_dashtime",  # 2000/01/02 05-01-32(.123)
+        r"^(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
+        r"(?P<h>\d{2})-(?P<mi>\d{2})-(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
+        r"(?![.\d])(?! ?[+-]\d{2})",
+        "ymd",
+        tests=[
+            ("2024/01/05 03-04-05 backup", "2024-01-05 03:04:05", 0, 19),
+        ],
+    ),
+    Pattern(
+        49, "iso_dashtime",  # 2017-05-14 04-00-07: report start
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2}) "
+        r"(?P<h>\d{2})-(?P<mi>\d{2})-(?P<s>\d{2}))(?![\d-])",
+        "ymd",
+        tests=[
+            ("2024-01-05 03-04-05: report start", "2024-01-05 03:04:05", 0, 19),
         ],
     ),
 ]

@@ -126,6 +126,12 @@ def test_winner_first_equals_bank_order():
             "2024-01-05 03:04:05,123 comma-frac",      # pattern 9
             "01/05/24 03:04:05 two-digit-year",        # pattern 44
             "01/05/2024 03:04:05 four-digit dmy",      # pattern 18
+            "2024/01/05 03:04:05 plain-slash",         # pattern 10
+            "2024/01/05 03:04:05 -0800 slash-numtz",   # pattern 45
+            "2024/01/05 03:04:05 PST slash-named",     # pattern 46
+            "192.168.0.8 - - [05/Jan/2024:03:04:05 -0800] common-log",  # 47
+            "2024/01/05 03-04-05 slash-dashtime",      # pattern 48
+            "2024-01-05 03-04-05: iso-dashtime",       # pattern 49
             "  at continuation frame 12",              # none
         ]
     )
