@@ -119,6 +119,11 @@ EXT_FAMS = [
     ("commonlog_apache", 47, 17, 43, "t0"),
     ("slash_ymd_dashtime", 48, 0, 19, "t0"),
     ("iso_dashtime", 49, 0, 19, "t0"),
+    # -- round-2 sixth batch (fams 50-53)
+    ("angle_dd_mon", 50, 13, 38, "t0"),
+    ("curly_dd_mon_slash", 51, 17, 43, "t0"),
+    ("compact_colon_ms", 52, 0, 25, "ms"),
+    ("iso_plus_dashtime", 53, 0, 23, "ms"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -368,6 +373,26 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         49: (
             f"{date_iso(t0)} || ' ' || {dp(t0, 'hour')} || '-'"
             f" || {dp(t0, 'minute')} || '-' || {dp(t0, 'second')}"
+        ),
+        # -- round-2 sixth batch (fams 50-53) ---------------------------
+        50: (
+            f"'192.168.0.' || {d.s('u % 10')} || chr(9) || '<' || {p2(day_l0)}"
+            f" || '-' || lower({mon(l0)}) || '-' || {year_s(l0)} || ' '"
+            f" || {time8(l0)} || offstr || '>'"
+        ),
+        51: (
+            f"'192.168.0.' || {d.s('u % 10')} || ' - - {{' || {p2(day_l0)}"
+            f" || '/' || lower({mon(l0)}) || '/' || {year_s(l0)} || ' '"
+            f" || {time8(l0)} || ' ' || offstr || '}}'"
+        ),
+        52: (
+            f"{year_s(l0)} || {dp(l0, 'month')} || {dp(l0, 'day')} || ':'"
+            f" || {dp(l0, 'hour')} || {dp(l0, 'minute')} || {dp(l0, 'second')}"
+            f" || '.' || {ms3} || ' ' || offstr"
+        ),
+        53: (
+            f"{date_iso(t0)} || '+' || {dp(t0, 'hour')} || '-'"
+            f" || {dp(t0, 'minute')} || '-' || {dp(t0, 'second')} || '.' || {ms3}"
         ),
     }
     prefix_case = "CASE fam " + " ".join(

@@ -146,10 +146,16 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             us = _frac_us(frac[has])
             ts = ts.copy()
             ts[has] = ts[has] + pd.to_timedelta(us, unit="us")
-    # tz → UTC (named map or ±hhmm), else assume UTC
+    # tz → UTC (named map or ±hhmm), else assume UTC.  The tz group
+    # may be optional in a pattern (angle_dd_mon): un-captured rows
+    # keep offset 0 rather than tripping NA boolean logic.
     if "tz" in g.columns:
-        offmin = _tz_minutes_numeric(g["tz"])
-        ts = ts - pd.to_timedelta(offmin, unit="m")
+        tzv = g["tz"]
+        has = tzv.notna()
+        if has.any():
+            offmin = pd.Series(0, index=g.index, dtype="int64")
+            offmin[has] = _tz_minutes_numeric(tzv[has]).astype("int64")
+            ts = ts - pd.to_timedelta(offmin, unit="m")
     elif "tzn" in g.columns:
         offmin = g["tzn"].map(TZ_OFFSET_MIN).astype("int64")
         ts = ts - pd.to_timedelta(offmin, unit="m")
@@ -253,6 +259,13 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         47: prefix.str.contains(" [", regex=False, na=False),
         48: slash4,
         49: iso_t,
+        50: prefix.str.contains("\t<", regex=False, na=False),
+        51: prefix.str.contains(" {", regex=False, na=False),
+        52: (
+            prefix.str.slice(0, 8).str.isdigit().fillna(False)
+            & (prefix.str.slice(8, 9) == ":")
+        ),
+        53: iso & (prefix.str.slice(10, 11) == "+"),
     }
 
 

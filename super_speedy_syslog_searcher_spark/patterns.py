@@ -682,6 +682,61 @@ PATTERNS: list[Pattern] = [
             ("2024-01-05 03-04-05: report start", "2024-01-05 03:04:05", 0, 19),
         ],
     ),
+    # ---- round-2 sixth batch (ids stable, append-only; more
+    # reference DTPD fixture shapes: tab-angle / space-curly mid-line
+    # datetimes, compact-colon, plus-separated dash-time) -------------
+    Pattern(
+        50, "angle_dd_mon",  # 192.168.0.172\t<11-oct-2022 00:10:26+0100>
+        rf"^(?P<pre>\S+\t<)(?P<dt>(?P<D>\d{{2}})-(?P<b>{_MON_ALT}|{_MON_CI_ALT})-"
+        rf"(?P<Y>\d{{4}}) (?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}})"
+        rf"(?:\.(?P<f>\d{{1,9}}))?(?: ?(?P<tz>[+-]\d{{2}}(?::?\d{{2}})?))?)>",
+        "mon_name",
+        dt_beg=None,
+        tests=[
+            (
+                "192.168.0.8\t<05-jan-2024 03:04:05-0800> fw drop",
+                "2024-01-05 11:04:05", 13, 38,
+            ),
+            (
+                "192.168.0.8\t<05-Oct-2024 00:10:26> fw",
+                "2024-10-05 00:10:26", 13, 33,
+            ),
+        ],
+    ),
+    Pattern(
+        51, "curly_dd_mon_slash",  # 192.168.0.8 - - {11/oct/2022 ... +0100}
+        rf"^(?P<pre>\S+ \S+ \S+ \{{)(?P<dt>(?P<D>\d{{2}})/"
+        rf"(?P<b>{_MON_ALT}|{_MON_CI_ALT})/(?P<Y>\d{{4}}) "
+        rf"(?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) (?P<tz>[+-]\d{{4}}))\}}",
+        "mon_name",
+        dt_beg=None,
+        tests=[
+            (
+                '192.168.0.8 - - {05/jan/2024 03:04:05 +0000} "GET /"',
+                "2024-01-05 03:04:05", 17, 43,
+            ),
+        ],
+    ),
+    Pattern(
+        52, "compact_colon_ms",  # 20000102:070832.123 -1100
+        r"^(?P<dt>(?P<Y>\d{4})(?P<M>\d{2})(?P<D>\d{2}):"
+        r"(?P<h>\d{2})(?P<mi>\d{2})(?P<s>\d{2})\.(?P<f>\d{3})"
+        r" (?P<tz>[+-]\d{4}))(?!\d)",
+        "ymd",
+        tests=[
+            ("20240105:030405.123 -0800 abc", "2024-01-05 11:04:05.123000", 0, 25),
+        ],
+    ),
+    Pattern(
+        53, "iso_plus_dashtime",  # 2019-01-29+02-07-27.809
+        r"^(?P<dt>(?P<Y>\d{4})-(?P<M>\d{2})-(?P<D>\d{2})\+"
+        r"(?P<h>\d{2})-(?P<mi>\d{2})-(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?)"
+        r"(?![.\d])",
+        "ymd",
+        tests=[
+            ("2024-01-29+02-07-27.809 sess", "2024-01-29 02:07:27.809000", 0, 23),
+        ],
+    ),
 ]
 
 CONTINUATION_SINK = "continuation"

@@ -132,6 +132,10 @@ def test_winner_first_equals_bank_order():
             "192.168.0.8 - - [05/Jan/2024:03:04:05 -0800] common-log",  # 47
             "2024/01/05 03-04-05 slash-dashtime",      # pattern 48
             "2024-01-05 03-04-05: iso-dashtime",       # pattern 49
+            "192.168.0.8\t<05-jan-2024 03:04:05-0800> fw",  # pattern 50
+            '192.168.0.8 - - {05/jan/2024 03:04:05 +0000} get',  # pattern 51
+            "20240105:030405.123 -0800 compact-colon",  # pattern 52
+            "2024-01-29+02-07-27.809 plus-time",        # pattern 53
             "  at continuation frame 12",              # none
         ]
     )
