@@ -34,7 +34,7 @@ families exercise one bank entry, e.g. bare/fractional epoch):
   6   rh_audit_epoch    type=USER_ACCT msg=audit(1704423845.123:7): ere_datetimes_impl.rs:4661
   7   strace_epoch      1704423845.123456                           ere_datetimes_impl.rs:4680
   8   dmesg_uptime      [12345.123456]                              ere_datetimes_impl.rs:5849
-  9-43 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
+  9-53 (round 2)        one per EXT_FAMS row below — epoch bare/ms/µs,
                         ctime ± year, lowercase months, day-first dates,
                         named-tz ISO, RFC5424, logcat, apache_error,
                         12-hour clocks, bracketed ISO ± tz, ns fractions,

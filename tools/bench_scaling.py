@@ -168,23 +168,33 @@ does evidence.
     ) + f"""
 parse_frozen is s4's sample-then-freeze fast path (winner-first,
 syslinereader.rs:920) benched against the default masked bank walk
-(parse_only).  The dispatch masks already realize the freeze's
-benefit vectorized (~1 regex/row), so the frozen pre-pass pays off
-only when Arrow batches are conversation-clustered; on the scattered
-layout used here it is recorded for the A/B trail, not enabled.
-Output is identical either way (tests/test_patterns.py::
-test_winner_first_equals_bank_order + the differential oracle).
+(parse_only); parse_merge_frozen is the same A/B end-to-end.  With
+the second-level dispatch masks the two parse paths are comparable on
+scattered batches (either can win a given draw inside the ~2x ambient
+drift), while end-to-end the freeze's blockzero learning job
+consistently costs more than the faster UDF saves once the dt-filter
+has pruned the input — so freeze stays an opt-in knob
+(pipeline.full_merge(freeze=True)) for conv-bucketed layouts where a
+batch holds one conversation and the frozen path degenerates to a
+single extract per batch.  Output is identical either way
+(tests/test_patterns.py::test_winner_first_equals_bank_order + the
+differential oracle).
 
 ## Round-2 performance deltas
 
 * Arrow batch size 20k -> 128k rows: parse_merge 22.3s -> 9.9s at 5M
-  turns (per-batch fixed costs — mask pass, 29 regex extract calls,
-  result-frame construction — amortize 6x further).
+  turns (per-batch fixed costs — mask pass, one regex extract per
+  bank family, result-frame construction — amortize 6x further).
 * Arrow-backed (string[pyarrow]) prefix ops inside the parse UDF:
   mask pass 4.4x faster, +17% single-core parse throughput.
-* Bank grew 14 -> 29 families and the corpus 9 -> 31 families; the
-  extra per-batch regex diversity is what the batch-size increase
-  pays for.
+* Second-level dispatch-mask discriminators (tz-sign window, comma/
+  AM-PM/colon positions, bracket content class): +14% single-core
+  parse in a stash-interleaved A/B at the 37-family bank; a further
+  time-separator split measured a 3% net LOSS and was reverted —
+  every mask change is A/B-measured in-process, never assumed.
+* Bank grew 14 -> 53 families and the corpus 9 -> 54 families across
+  round 2; the extra per-batch regex diversity is what the batch-size
+  increase and the mask discriminators pay for.
 
 ## Raw JSON
 
