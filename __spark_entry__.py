@@ -225,6 +225,34 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming per-(hour, sink) counts, drained with
+    Trigger.AvailableNow through the watermarked windowed aggregate
+    (streaming/pipeline.py) — the one queries() entry that exercises
+    readStream end-to-end.  The oracle is the batch semantic: counts
+    over the by-construction expected parses (uptime rows excluded —
+    their timestamp exists only after the batch repair stage)."""
+    import tempfile
+
+    session.prep(spark)
+    from super_speedy_syslog_searcher_spark.streaming import (
+        pipeline as SP,
+    )
+
+    t = _t(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4stream_in_")
+    t.write.mode("overwrite").parquet(in_dir)
+    name = "s4_stream_hourly_q"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    SP.run_hourly_to_memory(spark, in_dir, name)
+    return spark.table(name).select(
+        "hour", "sink", F.col("rows").cast("bigint").alias("rows")
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have
     no natural near-dups (max pairwise cosine ~0.44), so the query
@@ -381,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_counts": q_pattern_counts,
         "sink_counts": q_sink_counts,
         "hourly_hist": q_hourly_hist,
+        "streaming_hourly": q_streaming_hourly,
         "conv_summary": q_conv_summary,
         "routed_enriched": q_routed_enriched,
         "global_summary": q_global_summary,
@@ -432,6 +461,12 @@ SELECT sink_eff AS sink, CAST(count(*) AS BIGINT) AS rows FROM asm GROUP BY 1"""
         "hourly_hist": f"""{b}
 SELECT date_trunc('hour', ts_eff) AS hour, CAST(count(*) AS BIGINT) AS rows
 FROM asm WHERE ts_eff IS NOT NULL GROUP BY 1""",
+        "streaming_hourly": f"""{b}
+SELECT date_trunc('hour', _ts_parsed) AS hour, _sink AS sink,
+       CAST(count(*) AS BIGINT) AS rows
+FROM exp
+WHERE _ts_parsed IS NOT NULL AND _sink <> 'dmesg_uptime'
+GROUP BY 1, 2""",
         "conv_summary": f"""{b},
 oo AS (
   SELECT conv_id, turn_idx, _ts_parsed,
