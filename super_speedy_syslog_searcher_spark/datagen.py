@@ -124,6 +124,11 @@ EXT_FAMS = [
     ("curly_dd_mon_slash", 51, 17, 43, "t0"),
     ("compact_colon_ms", 52, 0, 25, "ms"),
     ("iso_plus_dashtime", 53, 0, 23, "ms"),
+    # -- round-2 seventh batch (fams 54-57)
+    ("mdy_colon_time", 54, 0, 19, "t0"),
+    ("paren_slash_tz", 55, 1, 26, "t0"),
+    ("star_rfc2822_tz", 56, 1, 33, "t0"),
+    ("compact_upper_mon", 57, 0, 17, "t0"),
 ]
 
 N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
@@ -393,6 +398,25 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         53: (
             f"{date_iso(t0)} || '+' || {dp(t0, 'hour')} || '-'"
             f" || {dp(t0, 'minute')} || '-' || {dp(t0, 'second')} || '.' || {ms3}"
+        ),
+        # -- round-2 seventh batch (fams 54-57) -------------------------
+        54: (
+            f"{dp(t0, 'month')} || '/' || {dp(t0, 'day')} || '/'"
+            f" || {year_s(t0)} || ':' || {time8(t0)}"
+        ),
+        55: (
+            f"'(' || {year_s(l0)} || '/' || {dp(l0, 'month')} || '/'"
+            f" || {dp(l0, 'day')} || ' ' || {time8(l0)} || ' ' || offstr || ')'"
+        ),
+        56: (
+            f"'*' || {dow(l0)} || ', ' || {mon(l0)} || ' '"
+            f" || lpad({day_s(l0)}, 2, ' ') || ' ' || {time8(l0)} || ' '"
+            f" || {year_s(l0)} || ' ' || offstr_colon"
+        ),
+        57: (
+            f"{dp(t0, 'day')} || upper({mon(t0)}) || {year_s(t0)} || 'T'"
+            f" || {dp(t0, 'hour')} || {dp(t0, 'minute')} || {dp(t0, 'second')}"
+            f" || 'Z'"
         ),
     }
     prefix_case = "CASE fam " + " ".join(

@@ -266,6 +266,11 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
             & (prefix.str.slice(8, 9) == ":")
         ),
         53: iso & (prefix.str.slice(10, 11) == "+"),
+        54: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        55: c0 == "(",
+        56: c0 == "*",
+        57: first2_digit
+        & prefix.str.slice(2, 5).isin([m.upper() for m in MONTHS]),
     }
 
 

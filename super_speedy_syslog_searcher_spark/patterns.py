@@ -737,6 +737,52 @@ PATTERNS: list[Pattern] = [
             ("2024-01-29+02-07-27.809 sess", "2024-01-29 02:07:27.809000", 0, 23),
         ],
     ),
+    # ---- round-2 seventh batch (ids stable, append-only) -------------
+    Pattern(
+        54, "mdy_colon_time",  # ie4uinit-style MM/DD/YYYY:HH:MM:SS:
+        # colon joins date and time, so this is textually disjoint from
+        # every space-joined slash-date family (11/18/38/44)
+        r"^(?P<dt>(?P<M>\d{2})/(?P<D>\d{2})/(?P<Y>\d{4}):"
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}))",
+        "ymd",
+        tests=[
+            ("02/21/2023:06:27:45: Starting x", "2023-02-21 06:27:45", 0, 19),
+        ],
+    ),
+    Pattern(
+        55, "paren_slash_tz",  # (2000/01/01 00:00:02.123 -1100) smbd
+        r"^(?P<pre>\()(?P<dt>(?P<Y>\d{4})/(?P<M>\d{2})/(?P<D>\d{2}) "
+        r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})(?:\.(?P<f>\d{1,9}))?"
+        r" (?P<tz>[+-]\d{4}))\)",
+        "ymd",
+        dt_beg=None,
+        tests=[
+            ("(2024/01/05 03:04:05 -0800) oplock", "2024-01-05 11:04:05", 1, 26),
+            ("(2024/01/05 03:04:05.123 -0800) x", "2024-01-05 11:04:05.123000", 1, 30),
+        ],
+    ),
+    Pattern(
+        56, "star_rfc2822_tz",  # *Tue, Jun 28 01:51:12 2022 +01:30
+        rf"^(?P<pre>\*{{1,3}})(?P<dt>(?:{_DOW_ALT}), (?P<b>{_MON_ALT}) "
+        rf"(?P<D>[ \d]\d) (?P<h>\d{{2}}):(?P<mi>\d{{2}}):(?P<s>\d{{2}}) "
+        rf"(?P<Y>\d{{4}}) (?P<tz>[+-]\d{{2}}:\d{{2}}))\b",
+        "mon_name",
+        dt_beg=None,
+        tests=[
+            ("*Fri, Jan  5 03:04:05 2024 +05:30 X", "2024-01-04 21:34:05", 1, 33),
+        ],
+    ),
+    Pattern(
+        57, "compact_upper_mon",  # 11OCT2022T001026Z (compact %d%b%Y)
+        rf"^(?P<dt>(?P<D>\d{{2}})(?P<b>{'|'.join(m.upper() for m in MONTHS)})"
+        rf"(?P<Y>\d{{4}})T(?P<h>\d{{2}})(?P<mi>\d{{2}})(?P<s>\d{{2}})"
+        rf"(?P<tz>Z)?)(?!\d)",
+        "mon_name",
+        tests=[
+            ("05JAN2024T030405Z route", "2024-01-05 03:04:05", 0, 17),
+            ("05JAN2024T030405 route", "2024-01-05 03:04:05", 0, 16),
+        ],
+    ),
 ]
 
 CONTINUATION_SINK = "continuation"

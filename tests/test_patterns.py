@@ -136,6 +136,11 @@ def test_winner_first_equals_bank_order():
             '192.168.0.8 - - {05/jan/2024 03:04:05 +0000} get',  # pattern 51
             "20240105:030405.123 -0800 compact-colon",  # pattern 52
             "2024-01-29+02-07-27.809 plus-time",        # pattern 53
+            "02/21/2023:06:27:45: colon-joined mdy",    # pattern 54
+            "(2024/01/05 03:04:05 -0800) paren-tz",     # pattern 55
+            "*Fri, Jan  5 03:04:05 2024 +05:30 star",   # pattern 56
+            "Fri, 05 Jan 2024 03:04:05 PST no-star",    # pattern 2
+            "05JAN2024T030405Z compact-upper",          # pattern 57
             "  at continuation frame 12",              # none
         ]
     )
