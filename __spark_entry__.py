@@ -152,6 +152,146 @@ def q_conv_dominant_pattern(spark, sf_dir):
     )
 
 
+def q_logfile_merge(spark, sf_dir):
+    """Raw log-FILE source end-to-end under the driver oracle — the
+    analogue of the reference's file-corpus golden run
+    (tools/compare-current-and-expected/compare.sh): the transcripts
+    derivation is written out as REAL log files (plain UTF-8, gzip,
+    UTF-16LE-with-BOM — one per conv bucket, lines in (conv, turn)
+    order), read back through sources/logfiles.read_log_files_decoded
+    (BOM sniff + codec + mapInPandas line split), re-parsed with the
+    pattern bank, and tallied per (file, sink).  The oracle computes
+    the same tallies from the by-construction expected parses with
+    the same bucket assignment — two fully independent paths from the
+    same derivation.
+
+    The fixture write collects the derived lines to the driver —
+    test-scoped (sf0.01 ≈ 1 MB); a cluster run would write the files
+    with a distributed writer instead.
+    """
+    import gzip
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.parse import (
+        parse_stage,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        read_log_files_decoded,
+    )
+
+    session.prep(spark)
+    t = _t(spark, sf_dir)
+    rows = (
+        t.select(
+            (F.substring("conv_id", 6, 5).cast("int") % 3).alias("fb"),
+            "conv_id",
+            "turn_idx",
+            "text",
+        )
+        .orderBy("fb", "conv_id", "turn_idx")
+        .collect()
+    )
+    by_bucket = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_bucket[r["fb"]].append(r["text"])
+    d = tempfile.mkdtemp(prefix="s4logfiles_")
+    p0 = os.path.join(d, "f0.log")
+    with open(p0, "w", encoding="utf-8", newline="\n") as f:
+        f.write("\n".join(by_bucket[0]) + "\n")
+    p1 = os.path.join(d, "f1.log.gz")
+    with open(p1, "wb") as f:
+        f.write(
+            gzip.compress(("\n".join(by_bucket[1]) + "\n").encode("utf-8"))
+        )
+    p2 = os.path.join(d, "f2_utf16.log")
+    with open(p2, "wb") as f:
+        f.write(
+            b"\xff\xfe"
+            + ("\n".join(by_bucket[2]) + "\n").encode("utf-16-le")
+        )
+    src = read_log_files_decoded(spark, [p0, p1, p2])
+    parsed = parse_stage(src)
+    # raw parse only (no repair): uptime/no-year timestamps are
+    # finalized by the conv-scoped repair stage, which keys on the
+    # ORIGINAL conversations — the file source regroups rows by file,
+    # so the comparable signals are sink routing and ts presence
+    return parsed.groupBy(
+        F.regexp_extract("conv_id", r"(f\d)[._]", 1).alias("file_label"),
+        "sink",
+    ).agg(
+        F.count("*").cast("bigint").alias("rows"),
+        F.count("ts_parsed").cast("bigint").alias("ts_rows"),
+    )
+
+
+def q_fixedstruct_records(spark, sf_dir):
+    """Typed fixed-struct binary decode under the driver oracle: a
+    deterministic utmp corpus is derived from the events table
+    (ut_pid=event_id, ut_user/host from user_id, login time = event
+    ts), packed into REAL glibc-layout 384-byte records
+    (operators/fixedstruct.encode_records), written as two .utmp
+    files, then decoded back through read_fixedstruct (binaryFile →
+    numpy frombuffer in mapInPandas — fixedstructreader.rs:190-215's
+    entry-sized block protocol).  The oracle derives the same records
+    straight from events — the packed bytes round-trip is the unit
+    under test.  Fixture write is driver-side and test-scoped
+    (sf0.01 ≈ 3.8 MB)."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+        encode_records,
+        read_fixedstruct,
+    )
+
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            (F.col("event_id") % 2).cast("int").alias("fb"),
+            F.col("event_id").alias("e"),
+            F.col("user_id").alias("u"),
+            F.unix_micros(
+                F.col("ts").cast("timestamp")
+            ).alias("eus"),
+        )
+        .orderBy("fb", "e")
+        .collect()
+    )
+    recs = {0: [], 1: []}
+    for r in rows:
+        recs[r["fb"]].append(
+            {
+                "ut_type": 8 if r["e"] % 4 == 0 else 7,
+                "ut_pid": r["e"],
+                "ut_line": f"pts/{r['e'] % 16}",
+                "ut_user": f"user{r['u'] % 10}",
+                "ut_host": f"host-{r['u'] % 10}",
+                "tv_sec": r["eus"] // 1_000_000,
+                "tv_usec": r["eus"] % 1_000_000,
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4utmp_")
+    paths = []
+    for fb, rr in recs.items():
+        p = os.path.join(d, f"f{fb}.utmp")
+        with open(p, "wb") as f:
+            f.write(encode_records(rr))
+        paths.append(p)
+    out = read_fixedstruct(spark, paths)
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.utmp", 1).alias("source_label"),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("ut_type").cast("int").alias("ut_type"),
+        F.col("ut_pid").cast("int").alias("ut_pid"),
+        "ut_line",
+        "ut_user",
+        "ut_host",
+        "ts",
+    )
+
+
 # -------------------------------------------- training-data pipeline ops
 
 def q_dedup_exact(spark, sf_dir):
@@ -406,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_extract": q_parse_extract,
         "merge_ordered": q_merge_ordered,
+        "logfile_merge": q_logfile_merge,
+        "fixedstruct_records": q_fixedstruct_records,
         "pattern_counts": q_pattern_counts,
         "sink_counts": q_sink_counts,
         "hourly_hist": q_hourly_hist,
@@ -453,6 +595,27 @@ FROM exp""",
 SELECT CAST(row_number() OVER (ORDER BY ts_eff, conv_id, turn_idx) AS BIGINT) AS msg_seq,
        conv_id, turn_idx, role, tool, text, ts_eff
 FROM asm WHERE {rng}""",
+        "logfile_merge": f"""{b}
+SELECT 'f' || CAST(CAST(substr(conv_id, 6, 5) AS INT) % 3 AS VARCHAR) AS file_label,
+       _sink AS sink,
+       CAST(count(*) AS BIGINT) AS rows,
+       CAST(sum(CASE WHEN _pattern_id IS NOT NULL
+                      AND _sink <> 'dmesg_uptime' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ts_rows
+FROM exp GROUP BY 1, 2""",
+        "fixedstruct_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1 AS INT) AS rec_idx,
+       CAST(CASE WHEN e % 4 = 0 THEN 8 ELSE 7 END AS INT) AS ut_type,
+       CAST(e AS INT) AS ut_pid,
+       'pts/' || CAST(e % 16 AS VARCHAR) AS ut_line,
+       'user' || CAST(u % 10 AS VARCHAR) AS ut_user,
+       'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
+       make_timestamp(eus) AS ts
+FROM b""",
         "pattern_counts": f"""{b}
 SELECT _pattern_id AS pattern_id, CAST(count(*) AS BIGINT) AS rows
 FROM exp WHERE _pattern_id IS NOT NULL GROUP BY 1""",

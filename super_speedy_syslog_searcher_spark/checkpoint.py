@@ -87,11 +87,19 @@ def run_partitioned(
     """
     run_id = run_id or uuid.uuid4().hex
     key = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
-    todo = [
-        k
-        for k in partition_keys(df, key)
-        if k not in done_partitions(out_dir)
-    ]
+    done = done_partitions(out_dir)
+    # bucket k under 8 buckets holds different convs than under 16 —
+    # resuming across an n_buckets change would silently mark stale
+    # buckets done, so the manifest records it and mismatches fail
+    for rec in done.values():
+        if rec.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"manifest at {out_dir} was written with "
+                f"n_buckets={rec.get('n_buckets')}, cannot resume with "
+                f"n_buckets={n_buckets}; use a fresh out_dir (or the "
+                "original bucket count)"
+            )
+    todo = [k for k in partition_keys(df, key) if k not in done]
     if max_partitions is not None:
         todo = todo[:max_partitions]
     processed = []
@@ -110,6 +118,7 @@ def run_partitioned(
             out_dir,
             {
                 "partition_key": k,
+                "n_buckets": n_buckets,
                 "status": "done",
                 "rows_parsed": int(sum(sink_counts.values())),
                 "patterns_matched": int(

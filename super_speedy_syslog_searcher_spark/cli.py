@@ -35,20 +35,42 @@ import datetime as dt
 import re
 import sys
 
-_REL = re.compile(r"^([+-])((?:\d+[smhdwy])+)$")
-_REL_AT = re.compile(r"^@([+-])((?:\d+[smhdwy])+)$")
+# relative offsets: ±Nw/d/h/m/s chains, optional '!hh:mm[:ss]' exact
+# time-of-day override, optional trailing tz swap — s4.rs:3537
+# string_wdhms_to_duration / string_to_rel_offset_datetime
+_TZ_SUFFIX = r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2}|[A-Za-z]{1,5})"
+_REL = re.compile(
+    r"^([+-])((?:\d+[smhdwy])+)"
+    r"(?:!(\d{1,2}):(\d{2})(?::(\d{2}))?)?"
+    rf"(?: ?{_TZ_SUFFIX})?$"
+)
+_REL_AT = re.compile(
+    r"^@([+-])((?:\d+[smhdwy])+)"
+    r"(?:!(\d{1,2}):(\d{2})(?::(\d{2}))?)?"
+    rf"(?: ?{_TZ_SUFFIX})?$"
+)
 _UNITS = {
     "s": "seconds", "m": "minutes", "h": "hours",
     "d": "days", "w": "weeks",
 }
+# ISO with '-' or '/' date separators (s4 accepts %Y-%m-%d AND
+# %Y/%m/%d families, s4.rs:552-2462), bare-hours %#z offsets, and
+# any-case named tz
 _ISO = re.compile(
-    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"^(\d{4})([-/])(\d{2})\2(\d{2})"
     r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?)?"
-    r"\s*(Z|[+-]\d{2}:?\d{2}|[A-Z]{1,5})?$"
+    rf"\s*{_TZ_SUFFIX}?$"
 )
+# compact %Y%m%d[T%H%M%S[.f]][tz] incl. underscore form
 _COMPACT = re.compile(
-    r"^(\d{4})(\d{2})(\d{2})(?:[T_](\d{2})(\d{2})(\d{2}))?$"
+    r"^(\d{4})(\d{2})(\d{2})"
+    r"(?:[T_](\d{2})(\d{2})(\d{2})(?:\.(\d{1,6}))?)?"
+    rf"{_TZ_SUFFIX}?$"
 )
+# month-day / time-only shorthands (%m-%d, %m/%d, %H:%M:%S, %H:%M):
+# the missing fields fill from 'now' (s4's add_date_y/add_time_*)
+_MD = re.compile(r"^(\d{2})[-/](\d{2})$")
+_HMS = re.compile(r"^(\d{2}):(\d{2})(?::(\d{2}))?$")
 _EPOCH = re.compile(r"^\+?(\d{9,11})$")  # s4's +%s epoch-seconds form
 
 _SEP_ESCAPES = {
@@ -59,7 +81,14 @@ _SEP_ESCAPES = {
 
 def decode_separator(s: str) -> str:
     """--separator escape decoding (README.md:746-748): \\t \\n \\r
-    \\0 \\a \\v \\e \\\\ and \\xNN byte escapes."""
+    \\0 \\a \\v \\e \\\\ and \\xNN byte escapes.
+
+    Known divergence: \\xNN decodes to the Unicode codepoint NN, so
+    for NN >= 0x80 stdout carries its multi-byte UTF-8 encoding where
+    s4 emits the raw byte.  \\x00-\\x7f (every separator in the
+    reference's docs/tests) are byte-identical; emitting bare
+    0x80-0xff would require a bytes-mode stdout for the whole line,
+    mixing encodings with the UTF-8 message text."""
     out, i = [], 0
     while i < len(s):
         c = s[i]
@@ -82,16 +111,18 @@ def decode_separator(s: str) -> str:
 
 
 def tz_offset_minutes(z: str) -> int:
-    """-z value → signed offset minutes: ±hhmm, ±hh:mm, or a named
-    timezone from the pattern bank's table (patterns.TZ_OFFSET_MIN)."""
-    m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", z)
+    """-z / filter-suffix value → signed offset minutes: ±hhmm,
+    ±hh:mm, bare ±hh (%#z), or a named timezone from the pattern
+    bank's table (patterns.TZ_OFFSET_MIN; ambiguous names apply no
+    shift, reference MAP_TZZ_TO_TZz parity)."""
+    m = re.fullmatch(r"([+-])(\d{2})(?::?(\d{2}))?", z)
     if m:
         sign = 1 if m.group(1) == "+" else -1
-        return sign * (int(m.group(2)) * 60 + int(m.group(3)))
+        return sign * (int(m.group(2)) * 60 + int(m.group(3) or 0))
     from .patterns import TZ_OFFSET_MIN
 
-    if z in TZ_OFFSET_MIN:
-        return TZ_OFFSET_MIN[z]
+    if z.upper() in TZ_OFFSET_MIN:
+        return TZ_OFFSET_MIN[z.upper()]
     raise ValueError(f"unrecognized timezone: {z!r}")
 
 
@@ -120,14 +151,33 @@ def parse_dt_filter(
     now = now or dt.datetime.now(dt.timezone.utc).replace(
         microsecond=0, tzinfo=None
     )
+
+    def _rel(base, m):
+        out = base + _offset(m.group(1), m.group(2))
+        if m.group(3) is not None:  # '!hh:mm[:ss]' exact time override
+            out = out.replace(
+                hour=int(m.group(3)),
+                minute=int(m.group(4)),
+                second=int(m.group(5) or 0),
+                microsecond=0,
+            )
+        if m.group(6):  # tz swap: keep wall clock, change zone
+            out -= dt.timedelta(minutes=tz_offset_minutes(m.group(6)))
+        return out
+
+    def _tzfix(out, tz):
+        if tz and tz != "Z":
+            out -= dt.timedelta(minutes=tz_offset_minutes(tz))
+        return out
+
     m = _REL_AT.match(value)
     if m:
         if other is None:
             raise ValueError(f"'@' filter {value!r} needs the other bound")
-        return other + _offset(m.group(1), m.group(2))
+        return _rel(other, m)
     m = _REL.match(value)
     if m:
-        return now + _offset(m.group(1), m.group(2))
+        return _rel(now, m)
     m = _EPOCH.match(value)
     if m:
         return dt.datetime(1970, 1, 1) + dt.timedelta(
@@ -135,22 +185,30 @@ def parse_dt_filter(
         )
     m = _COMPACT.match(value)
     if m:
-        return dt.datetime(
+        us = int((m.group(7) or "0").ljust(6, "0"))
+        out = dt.datetime(
             int(m.group(1)), int(m.group(2)), int(m.group(3)),
-            int(m.group(4) or 0), int(m.group(5) or 0), int(m.group(6) or 0),
+            int(m.group(4) or 0), int(m.group(5) or 0),
+            int(m.group(6) or 0), us,
         )
+        return _tzfix(out, m.group(8))
     m = _ISO.match(value)
     if m:
-        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
-        h = int(m.group(4) or 0)
-        mi = int(m.group(5) or 0)
-        s = int(m.group(6) or 0)
-        us = int((m.group(7) or "0").ljust(6, "0"))
-        out = dt.datetime(y, mo, d, h, mi, s, us)
-        tz = m.group(8)
-        if tz and tz != "Z":
-            out -= dt.timedelta(minutes=tz_offset_minutes(tz))
-        return out
+        y, mo, d = int(m.group(1)), int(m.group(3)), int(m.group(4))
+        h = int(m.group(5) or 0)
+        mi = int(m.group(6) or 0)
+        s = int(m.group(7) or 0)
+        us = int((m.group(8) or "0").ljust(6, "0"))
+        return _tzfix(dt.datetime(y, mo, d, h, mi, s, us), m.group(9))
+    m = _MD.match(value)
+    if m:  # %m-%d / %m/%d — year fills from now (s4 add_date_y)
+        return dt.datetime(now.year, int(m.group(1)), int(m.group(2)))
+    m = _HMS.match(value)
+    if m:  # %H:%M[:%S] — date fills from now (s4 add_date_*)
+        return dt.datetime(
+            now.year, now.month, now.day,
+            int(m.group(1)), int(m.group(2)), int(m.group(3) or 0),
+        )
     raise ValueError(f"unrecognized datetime filter: {value!r}")
 
 
@@ -173,6 +231,31 @@ def resolve_filters(
         parse_dt_filter(a, now) if a else None,
         parse_dt_filter(b, now) if b else None,
     )
+
+
+def _maybe_summary(args, t, n: int) -> None:
+    """Shared --summary tail (every output format honors it)."""
+    if not args.summary:
+        return
+    from . import pipeline as P
+    from .operators import stats
+
+    # bounded driver traffic: a CLI summary is human-facing, so cap
+    # the per-conv rows collected (at 10^8 convs the full summary
+    # belongs in a table sink, not stdout)
+    summ = (
+        stats.conv_summary(P.parse_repair(t, narrow=True))
+        .limit(10_000)
+        .collect()
+    )
+    print(f"printed {n} lines from {len(summ)} conversations", file=sys.stderr)
+    for r in sorted(summ, key=lambda r: r["conv_id"])[:20]:
+        print(
+            f"  {r['conv_id']}: turns={r['turns']} syslines={r['syslines']} "
+            f"dt_first={r['dt_first']} dt_last={r['dt_last']} "
+            f"out_of_order={r['out_of_order']}",
+            file=sys.stderr,
+        )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -214,7 +297,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from . import pipeline as P
     from .datagen import transcripts_df
-    from .operators import stats
     from .session import get_spark
 
     spark = get_spark(
@@ -230,13 +312,14 @@ def main(argv: list[str] | None = None) -> int:
     sep = decode_separator(args.separator)
     if args.out_format == "jsonl":
         # journalctl -o json analogue: a to_json projection, rendered
-        # distributed (one JVM-side expression, no driver formatting)
+        # distributed (one JVM-side expression, no driver formatting);
+        # microsecond ts like journalctl's (not second-truncated)
         lines = merged.select(
             F.to_json(
                 F.struct(
-                    F.date_format("ts_eff", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-                        "ts"
-                    ),
+                    F.date_format(
+                        "ts_eff", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                    ).alias("ts"),
                     "conv_id",
                     "turn_idx",
                     "role",
@@ -245,10 +328,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             ).alias("line")
         )
+        if args.limit:
+            lines = lines.limit(args.limit)
         n = 0
-        for row in (lines.limit(args.limit) if args.limit else lines).toLocalIterator():
+        for row in lines.toLocalIterator():
             sys.stdout.write(row["line"] + "\n")
             n += 1
+        _maybe_summary(args, t, n)  # --summary works with jsonl too
         spark.stop()
         return 0
     out = F.col("text")
@@ -297,23 +383,7 @@ def main(argv: list[str] | None = None) -> int:
     for row in lines.toLocalIterator():
         sys.stdout.write(row["line"] + "\n")
         n += 1
-    if args.summary:
-        # bounded driver traffic: a CLI summary is human-facing, so
-        # cap the per-conv rows collected (at 10^8 convs the full
-        # summary belongs in a table sink, not stdout)
-        summ = (
-            stats.conv_summary(P.parse_repair(t, narrow=True))
-            .limit(10_000)
-            .collect()
-        )
-        print(f"printed {n} lines from {len(summ)} conversations", file=sys.stderr)
-        for r in sorted(summ, key=lambda r: r["conv_id"])[:20]:
-            print(
-                f"  {r['conv_id']}: turns={r['turns']} syslines={r['syslines']} "
-                f"dt_first={r['dt_first']} dt_last={r['dt_last']} "
-                f"out_of_order={r['out_of_order']}",
-                file=sys.stderr,
-            )
+    _maybe_summary(args, t, n)
     spark.stop()
     return 0
 

@@ -81,7 +81,7 @@ EXT_FAMS = [
     ("epoch_ms13", 15, 0, 13, "ms"),
     ("ctime_year", 16, 0, 24, "t0"),
     ("syslog_lc_month", 17, 0, 15, "t0"),
-    ("dmy_slash", 18, 0, 19, "t0"),
+    ("mdy_slash", 18, 0, 19, "t0"),
     ("dmy_dot", 19, 0, 19, "t0"),
     ("iso_named_tz", 20, 0, 23, "t0"),
     ("rfc5424_pri", 21, 6, 30, "t0"),
@@ -131,7 +131,7 @@ EXT_FAMS = [
     ("compact_upper_mon", 57, 0, 17, "t0"),
 ]
 
-N_FAMS = len(SINKS) + len(EXT_FAMS)  # 31 datetime-bearing families
+N_FAMS = len(SINKS) + len(EXT_FAMS)  # datetime-bearing corpus families
 FAM_CONT = 99  # continuation marker (never a family index)
 
 # full per-fam metadata tables (legacy 0-8 then EXT_FAMS)
@@ -244,8 +244,11 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
     # hour-only offsets (fam 41 / pattern 39 iso_tz_hour)
     offminh = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 300 ELSE -660 END)"
     offstr_h = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN '+00' WHEN 1 THEN '-08' WHEN 2 THEN '+05' ELSE '-11' END)"
-    tzname = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 'UTC' WHEN 1 THEN 'PST' WHEN 2 THEN 'IST' ELSE 'CET' END)"
-    tznameoff = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 330 ELSE 60 END)"
+    # named-tz corpus set: unambiguous names only — IST/CST/BST-style
+    # ambiguous abbreviations get NO offset (reference MAP_TZZ_TO_TZz
+    # maps them to ""), so they cannot carry a by-construction shift
+    tzname = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 'UTC' WHEN 1 THEN 'PST' WHEN 2 THEN 'JST' ELSE 'CET' END)"
+    tznameoff = "(CASE CAST(cnum % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN -480 WHEN 2 THEN 540 ELSE 60 END)"
 
     # -- family prefixes (all ASCII => char offsets == byte offsets) ---
     l0 = "(t0us + CAST(offmin AS BIGINT) * 60000000)"  # local wall-clock, fams 0/4
@@ -307,7 +310,7 @@ def _derivation_sql(engine: str, events_rel: str = "events") -> str:
         16: f"{sec13}",
         17: f"{dow(t0)} || ' ' || {mon(t0)} || ' ' || {day2sp} || ' ' || {time8(t0)} || ' ' || {year_s(t0)}",
         18: f"lower({mon(t0)}) || ' ' || {day2sp} || ' ' || {time8(t0)}",
-        19: f"{dp(t0, 'day')} || '/' || {dp(t0, 'month')} || '/' || {year_s(t0)} || ' ' || {time8(t0)}",
+        19: f"{dp(t0, 'month')} || '/' || {dp(t0, 'day')} || '/' || {year_s(t0)} || ' ' || {time8(t0)}",
         20: f"{dp(t0, 'day')} || '.' || {dp(t0, 'month')} || '.' || {year_s(t0)} || ' ' || {time8(t0)}",
         21: f"{date_iso(l3)} || ' ' || {time8(l3)} || ' ' || tzname",
         22: f"'<14>1 ' || {date_iso(l0)} || 'T' || {time8(l0)} || offstr",

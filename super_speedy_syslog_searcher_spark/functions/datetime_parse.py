@@ -31,8 +31,12 @@ from ..patterns import (
     MONTHS,
     MONTHS_FULL,
     PATTERNS,
+    SCAN_MAX,
+    SCAN_PATTERNS,
     TZ_OFFSET_MIN,
 )
+
+ANCHORED_PATTERNS = [p for p in PATTERNS if not p.scan]
 
 RESULT_FIELDS = (
     "ts_parsed timestamp, pattern_id int, sink string, "
@@ -41,8 +45,11 @@ RESULT_FIELDS = (
 
 
 def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
-    """'+0530' / '-08:00' / '+08' / 'Z' → signed minutes."""
+    """'+0530' / '-08:00' / '+08' / 'Z' → signed minutes.  The U+2212
+    minus sign is accepted like the reference's [+-−] classes
+    (ere_datetimes_impl.rs:1798)."""
     tz = tz.str.replace(":", "", regex=False)
+    tz = tz.str.replace("−", "-", regex=False)
     tz = tz.where(~tz.isin(["Z", "z"]), "+0000")  # RFC3339 Zulu
     # bare-hours offsets (pattern 39 '+08') zero-fill the minutes
     tz = tz.str.pad(5, side="right", fillchar="0")
@@ -68,6 +75,9 @@ def _frac_us(frac: pd.Series) -> pd.Series:
 
 MONTH_NUM = {k: int(v) for k, v in MONTHS.items()}
 MONTH_FULL_NUM = {k: int(v) for k, v in MONTHS_FULL.items()}
+# scan-tier month group matches abbreviated AND full names in any of
+# the three case spellings; normalize via capitalize + dot-strip
+MONTH_ANY_NUM = {**MONTH_NUM, **MONTH_FULL_NUM}
 
 
 def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
@@ -102,10 +112,17 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
     # name (%B), 'h12'+'ampm' = 12-hour clock, missing 's' = minute
     # resolution (second defaults to 0)
     if "b" in g.columns:
-        # capitalize folds 'jan'/'JAN' (pattern 17) onto the map
-        month = g["b"].str.capitalize().map(MONTH_NUM)
+        # capitalize folds 'jan'/'JAN'/'JANUARY' onto the map; the
+        # scan tier's month group also matches full names and the
+        # dotted 'Jan.' spelling (CGP_MONTHBb, ere_datetimes_impl.rs:1605)
+        month = (
+            g["b"]
+            .str.replace(".", "", regex=False)
+            .str.capitalize()
+            .map(MONTH_ANY_NUM)
+        )
     elif "bf" in g.columns:
-        month = g["bf"].map(MONTH_FULL_NUM)
+        month = g["bf"].str.capitalize().map(MONTH_FULL_NUM)
     else:
         month = g["M"].astype("int64")
     if "h12" in g.columns:  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
@@ -113,6 +130,16 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
         hour = h12 + np.where(g["ampm"] == "PM", 12, 0)
     else:
         hour = g["h"].astype("int64")
+        if "ampm" in g.columns:  # OPTIONAL 12-hour marker (scan tier)
+            ap = g["ampm"].str.upper().fillna("")
+            hour = pd.Series(
+                np.where(
+                    ap != "",
+                    hour % 12 + np.where(ap == "PM", 12, 0),
+                    hour,
+                ),
+                index=g.index,
+            )
     if "y2" in g.columns:  # chrono %y pivot: 00-68 -> 20xx, 69-99 -> 19xx
         y2 = g["y2"].astype("int64")
         year = pd.Series(
@@ -146,18 +173,36 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             us = _frac_us(frac[has])
             ts = ts.copy()
             ts[has] = ts[has] + pd.to_timedelta(us, unit="us")
-    # tz → UTC (named map or ±hhmm), else assume UTC.  The tz group
-    # may be optional in a pattern (angle_dd_mon): un-captured rows
-    # keep offset 0 rather than tripping NA boolean logic.
-    if "tz" in g.columns:
-        tzv = g["tz"]
-        has = tzv.notna()
-        if has.any():
-            offmin = pd.Series(0, index=g.index, dtype="int64")
-            offmin[has] = _tz_minutes_numeric(tzv[has]).astype("int64")
-            ts = ts - pd.to_timedelta(offmin, unit="m")
-    elif "tzn" in g.columns:
-        offmin = g["tzn"].map(TZ_OFFSET_MIN).astype("int64")
+    # tz → UTC (named map or ±hhmm), else assume UTC.  tz groups may
+    # be optional (angle_dd_mon, every scan pattern): un-captured rows
+    # keep offset 0 rather than tripping NA boolean logic.  A pattern
+    # may carry BOTH a numeric tz and a named tzn group (scan tier's
+    # any-kind tz alternation) — numeric wins where captured.
+    offmin = pd.Series(0, index=g.index, dtype="int64")
+    done = pd.Series(False, index=g.index)
+    # a pattern may carry several alternative tz groups (scan 62 has
+    # numeric/named, before/after the year); first captured wins
+    for col, numeric in (
+        ("tz", True), ("tz2", True),
+        ("tzn", False), ("tzn2", False), ("tznu", False),
+    ):
+        if col not in g.columns:
+            continue
+        has = g[col].notna() & ~done
+        if not has.any():
+            continue
+        if numeric:
+            offmin[has] = _tz_minutes_numeric(g[col][has]).astype("int64")
+        else:
+            offmin[has] = (
+                g[col][has]
+                .str.upper()
+                .map(TZ_OFFSET_MIN)
+                .fillna(0)
+                .astype("int64")
+            )
+        done |= has
+    if (offmin != 0).any():
         ts = ts - pd.to_timedelta(offmin, unit="m")
     return ts, None
 
@@ -274,6 +319,33 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     }
 
 
+_Y4_GATE = r"1969|19[7-9]\d|20\d\d"
+_MON_GATE = "|".join(
+    v for m in MONTHS for v in (m, m.lower(), m.upper())
+)
+
+
+def _scan_masks(sub: pd.Series) -> dict[int, pd.Series]:
+    """Cheap gates for the scan tier, computed only on the rows the
+    anchored tier rejected — the EZCHECK idea applied to mid-line
+    search (a row without a plausible year / month name / time shape
+    skips the bounded-backtracking regex entirely)."""
+    has_y4 = sub.str.contains(_Y4_GATE, regex=True, na=False)
+    has_mon = sub.str.contains(_MON_GATE, regex=True, na=False)
+    has_time = sub.str.contains(r"\d:[0-5]\d", regex=True, na=False)
+    out = {}
+    for p in SCAN_PATTERNS:
+        if p.gate is not None:
+            out[p.pid] = sub.str.contains(p.gate, regex=True, na=False)
+        elif p.kind == "mon_name":
+            out[p.pid] = has_mon & has_time
+        elif "(?P<Y>" in p.regex:
+            out[p.pid] = has_y4
+        else:
+            out[p.pid] = has_time
+    return out
+
+
 PATTERN_BY_ID = {p.pid: p for p in PATTERNS}
 
 
@@ -312,9 +384,13 @@ def parse_series(
     # pass, which is half the parse cost at 29 patterns.  The astype
     # is one cheap buffer re-encode (the data arrived as Arrow anyway).
     texts = texts.astype("string[pyarrow]")
-    prefix = texts.str.slice(0, MAX_SCAN)
-    # EZCHECKD2: every bank entry needs two consecutive digits
-    remaining = prefix.str.contains(r"\d\d", regex=True, na=False)
+    wide = texts.str.slice(0, SCAN_MAX)  # scan-tier region
+    prefix = wide.str.slice(0, MAX_SCAN)
+    # EZCHECKD2: every bank entry needs two consecutive digits — gated
+    # on the WIDE region so a datetime past MAX_SCAN (mid-line, scan
+    # tier) still qualifies; tier-1 masks are positional within the
+    # narrow prefix and reject those rows cheaply.
+    remaining = wide.str.contains(r"\d\d", regex=True, na=False)
     masks = _dispatch_masks(prefix)
 
     def try_pattern(p, cand: pd.Series) -> None:
@@ -351,16 +427,53 @@ def parse_series(
     if winner_pids is not None:
         for w in pd.unique(winner_pids.dropna()):
             p = PATTERN_BY_ID.get(int(w))
-            if p is not None:
+            if p is not None and not p.scan:
                 try_pattern(p, remaining & (winner_pids == w) & masks[p.pid])
-    for p in PATTERNS:
+    for p in ANCHORED_PATTERNS:
         if not remaining.any():
             break
         try_pattern(p, remaining & masks[p.pid])
+    # scan tier (ids 58+): bounded mid-line search over the leftovers
+    # only — the hot path (anchored corpus shapes) never reaches here.
+    # It inspects a wider region (SCAN_MAX) than the anchored tier,
+    # mirroring the reference's per-entry range_regex widths.
+    if remaining.any():
+        scan_prefix = wide[remaining]
+        smasks = _scan_masks(scan_prefix)
+
+        def try_scan(p, cand_sub: pd.Series) -> None:
+            sub = cand_sub & remaining[cand_sub.index]
+            if not sub.any():
+                return
+            ext = scan_prefix[sub].str.extract(p.regex)
+            hit = ext["dt"].notna()
+            if not hit.any():
+                return
+            g = ext[hit]
+            ts, up = _canonicalize(p, g, anchor_year)
+            valid = ts.notna() if up is None else pd.Series(
+                True, index=g.index
+            )
+            g, ts = g[valid], ts[valid]
+            if g.empty:
+                return
+            midx = g.index
+            out.loc[midx, "ts_parsed"] = ts
+            out.loc[midx, "pattern_id"] = np.int32(p.pid)
+            out.loc[midx, "sink"] = p.name
+            beg = g["pre"].str.len().astype("int64")
+            out.loc[midx, "dt_beg"] = beg
+            out.loc[midx, "dt_end"] = beg + g["dt"].str.len().astype("int64")
+            remaining.loc[midx] = False
+
+        for p in SCAN_PATTERNS:
+            if not remaining.any():
+                break
+            try_scan(p, smasks[p.pid])
     return out
 
 
-def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, winners_bc=None):
+def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, frozen=False):
     """Arrow-batched pandas UDF over the text column.
 
     The JVM ships Arrow batches to a long-lived Python worker — the
@@ -368,13 +481,14 @@ def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, winners_bc=None):
     (src/readers/pyeventreader.rs:629, src/python/pyrunner.rs:653),
     but vectorized instead of line-protocol-per-record.
 
-    winners_bc: optional SparkContext broadcast of {conv_id:
-    pattern_id}; presence switches the UDF to (conv_id, text) input
-    and enables the winner-first fast path.
+    frozen=True switches the UDF to (winner_pid, text) input — the
+    winner pid arrives as a broadcast-joined COLUMN (operators/
+    parse.py), not a driver-collected dict — and enables the
+    winner-first fast path.
     """
     from pyspark.sql.functions import pandas_udf
 
-    if winners_bc is None:
+    if not frozen:
 
         @pandas_udf(RESULT_FIELDS)
         def parse_text(texts: pd.Series) -> pd.DataFrame:
@@ -383,10 +497,11 @@ def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, winners_bc=None):
         return parse_text
 
     @pandas_udf(RESULT_FIELDS)
-    def parse_text_frozen(convs: pd.Series, texts: pd.Series) -> pd.DataFrame:
-        winners = convs.map(winners_bc.value)
+    def parse_text_frozen(
+        winner_pids: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
         return parse_series(
-            texts, anchor_year=anchor_year, winner_pids=winners
+            texts, anchor_year=anchor_year, winner_pids=winner_pids
         )
 
     return parse_text_frozen

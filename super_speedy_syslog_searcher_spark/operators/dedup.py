@@ -206,8 +206,13 @@ _NIBBLE = {c: int(c, 16) for c in "0123456789abcdef"}
 
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit simhash: bit j is set iff the majority of token md5
-    hashes have bit j set.  Pure explode+groupBy — engine-portable
-    (the oracle repeats it with CASE-mapped nibbles).
+    hashes have bit j set.  Engine-portable (the oracle repeats it
+    with CASE-mapped nibbles).
+
+    ONE groupBy over the token rows computes all 64 signed bit-sums as
+    64 conditional-aggregate columns — the shuffle carries each
+    (doc, token) row exactly once.  (Round 2 exploded 16 nibble
+    positions first, inflating the shuffled rows 16×; same output.)
 
     Output: (doc_id, simhash_hex: 16-char lowercase hex)."""
     tokens = (
@@ -219,34 +224,21 @@ def simhash(docs: DataFrame) -> DataFrame:
         )
         .withColumn("h", F.substring(F.md5("tok"), 1, 16))
     )
-    # explode 16 nibble positions; each nibble contributes 4 bits
-    pos = tokens.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p"),
-        F.col("h"),
-    ).withColumn(
-        "v", F.conv(F.substring(F.col("h"), F.col("p"), 1), 16, 10).cast("int")
-    )
-    bit_cols = []
-    for b in range(4):
-        bit_cols.append(
-            F.sum(
-                F.when((F.col("v").bitwiseAND(1 << b)) > 0, 1).otherwise(-1)
-            ).alias(f"s{b}")
-        )
-    sums = pos.groupBy("doc_id", "p").agg(*bit_cols)
-    nib = sums.withColumn(
-        "nibble",
-        sum(
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    aggs = []
+    for p in range(1, 17):  # hex digit position (MSB first)
+        nib = F.conv(F.substring(F.col("h"), p, 1), 16, 10).cast("int")
+        for b in range(4):
+            aggs.append(
+                F.sum(
+                    F.when(nib.bitwiseAND(1 << b) > 0, 1).otherwise(-1)
+                ).alias(f"s_{p}_{b}")
+            )
+    sums = tokens.groupBy("doc_id").agg(*aggs)
+    hex_cols = []
+    for p in range(1, 17):
+        nibble = sum(
+            F.when(F.col(f"s_{p}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             for b in range(4)
-        ),
-    ).withColumn("hexc", F.lower(F.conv(F.col("nibble").cast("string"), 10, 16)))
-    return (
-        nib.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "", F.array_sort(F.collect_list(F.struct("p", "hexc"))).getField("hexc")
-            ).alias("simhash_hex")
         )
-    )
+        hex_cols.append(F.lower(F.conv(nibble.cast("string"), 10, 16)))
+    return sums.select("doc_id", F.concat(*hex_cols).alias("simhash_hex"))

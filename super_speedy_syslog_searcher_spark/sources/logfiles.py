@@ -41,11 +41,30 @@ _BOM_ENCODINGS = [
 
 
 def sniff_encoding(head: bytes) -> str:
-    """BOM-based encoding detection; BOM-less data is UTF-8 (the
-    reference's default, filepreprocessor.rs:278-360)."""
+    """Encoding detection: BOM first, then null-byte-pattern scoring
+    for BOM-less UTF-16/32 (filepreprocessor.rs:278-360 scores the
+    first block's byte layout the same way); defaults to UTF-8.
+
+    ASCII-range text encoded UTF-16LE looks like ``41 00 42 00`` (odd
+    bytes null), BE like ``00 41``; UTF-32 adds three nulls per
+    4-byte group.  Thresholds ask for >80% conformity over at least 8
+    bytes so binary junk stays 'utf-8' (and downstream replacement
+    decoding applies)."""
     for bom, enc in _BOM_ENCODINGS:
         if head.startswith(bom):
             return enc
+    n = len(head) & ~3  # whole 4-byte groups
+    if n >= 8:
+        g = [head[i : i + 4] for i in range(0, n, 4)]
+        if sum(b[1:] == b"\x00\x00\x00" and b[0] != 0 for b in g) > 0.8 * len(g):
+            return "utf-32-le"
+        if sum(b[:3] == b"\x00\x00\x00" and b[3] != 0 for b in g) > 0.8 * len(g):
+            return "utf-32-be"
+        pairs = [head[i : i + 2] for i in range(0, n, 2)]
+        if sum(p[1] == 0 and p[0] != 0 for p in pairs) > 0.8 * len(pairs):
+            return "utf-16-le"
+        if sum(p[0] == 0 and p[1] != 0 for p in pairs) > 0.8 * len(pairs):
+            return "utf-16-be"
     return "utf-8"
 
 
@@ -121,6 +140,32 @@ def read_log_files(
     )
 
 
+def _decompress(path: str, data: bytes) -> bytes:
+    """Per-codec whole-file decompression by extension — BlockReader
+    codec parity (blockreader.rs:3382 bz2, :3959 lz4, :4155 xz; gz
+    handled by its own reader).  lz4 is gated on the library being
+    present (not in every runtime)."""
+    if path.endswith(".gz"):
+        return gzip.decompress(data)
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.decompress(data)
+    if path.endswith((".xz", ".lzma")):
+        import lzma
+
+        return lzma.decompress(data)
+    if path.endswith(".lz4"):
+        try:
+            import lz4.frame  # optional dependency
+        except ImportError as ex:  # pragma: no cover
+            raise NotImplementedError(
+                ".lz4 input needs the 'lz4' package on the executors"
+            ) from ex
+        return lz4.frame.decompress(data)
+    return data
+
+
 def read_log_files_decoded(
     spark: SparkSession,
     paths: list[str] | str,
@@ -159,10 +204,8 @@ def read_log_files_decoded(
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
-                data = bytes(content)
-                if path.endswith(".gz"):
-                    data = gzip.decompress(data)
-                enc = charset or sniff_encoding(data[:4])
+                data = _decompress(path, bytes(content))
+                enc = charset or sniff_encoding(data[:64])
                 # the explicit-endian codecs keep U+FEFF; drop the BOM
                 # bytes so line 0 starts at the real text
                 for bom, e in _BOM_ENCODINGS:

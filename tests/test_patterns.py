@@ -53,11 +53,15 @@ def test_prefilter_skips_digitless():
     assert out["pattern_id"].isna().all()
 
 
-def test_midline_datetime_not_matched():
-    """Patterns are anchored at line start (the generated corpus always
-    embeds datetimes at offset 0 / after a fixed preamble)."""
+def test_midline_datetime_scan_tier():
+    """Round 3: mid-line datetimes ARE matched — by the scan tier
+    (reference parity: range_regex searches a prefix REGION, not byte
+    0).  The anchored tier stays first, so the scan entry only fires
+    when no anchored family matched, and dt_beg reflects the prefix."""
     r = parse_series(pd.Series(["note: 2024-01-05T03:04:05 follows"])).iloc[0]
-    assert pd.isna(r.pattern_id)
+    assert r.pattern_id == 58  # scan_ymd_hms
+    assert str(r.ts_parsed) == "2024-01-05 03:04:05"
+    assert (r.dt_beg, r.dt_end) == (6, 25)
 
 
 def test_malformed_dates_fall_through_not_crash():

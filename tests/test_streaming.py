@@ -138,12 +138,13 @@ def test_stateful_state_ttl_eviction(spark, tmp_path):
         ]
     )
     run()
-    # run 2: conv Y at 04:00 advances the watermark past X's deadline
-    write_batch([("conv-Y", 0, "user", "2024-01-05T04:00:00 other", "none", t0)])
+    # run 2: conv Y at 05:00 advances the watermark (event max minus
+    # the 1-hour default reorder delay → 04:00) past X's deadline
+    write_batch([("conv-Y", 0, "user", "2024-01-05T05:00:00 other", "none", t0)])
     run()
     # run 3: conv Z — X has no data this batch and wm > deadline → X's
     # timeout fires here and its state is removed
-    write_batch([("conv-Z", 0, "user", "2024-01-05T04:00:01 third", "none", t0)])
+    write_batch([("conv-Z", 0, "user", "2024-01-05T05:00:01 third", "none", t0)])
     run()
     # run 4: late continuation for X after eviction
     write_batch([("conv-X", 2, "user", "  late continuation", "none", t0)])
@@ -155,3 +156,53 @@ def test_stateful_state_ttl_eviction(spark, tmp_path):
     }
     assert got[("conv-X", 1)][0] == "iso8601_notz"  # pre-eviction attach
     assert got[("conv-X", 2)] == ("continuation", None)  # post-eviction
+
+
+def test_stateful_ttl_late_datetime_row_dropped(spark, tmp_path):
+    """ADVICE r2: under EventTimeTimeout Spark DROPS datetime-bearing
+    rows older than the watermark — they lose the ROW, not just state.
+    The watermark_delay default ('1 hour') is the reorder tolerance;
+    this pins the documented semantics: a dt row >1h behind the
+    stream's max event time never reaches the output, while a null-ts
+    continuation always passes."""
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "in5")
+    out_dir = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ck5")
+    schema = sp.TRANSCRIPT_SCHEMA
+    t0 = __import__("datetime").datetime(2024, 1, 5, 3, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        stateful.run_assembled_available_now(
+            spark, in_dir, out_dir, ckpt,
+            state_ttl_ms=60_000, max_files_per_trigger=1,
+        )
+
+    # batch 1 pushes the watermark to 09:00 (10:00 max - 1h delay)
+    write_batch(
+        [("conv-A", 0, "user", "2024-01-05T10:00:00 head", "none", t0)]
+    )
+    run()
+    # batch 2: a dt row 7h behind the watermark (dropped) and a null-ts
+    # continuation (kept, degrades to sink 'continuation' — conv-B has
+    # no anchor)
+    write_batch(
+        [
+            ("conv-B", 0, "user", "2024-01-05T02:00:00 too-late", "none", t0),
+            ("conv-B", 1, "user", "  just a continuation", "none", t0),
+        ]
+    )
+    run()
+
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r["sink_eff"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("conv-B", 0) not in rows  # late dt row dropped entirely
+    assert rows[("conv-B", 1)] == "continuation"
