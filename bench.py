@@ -121,7 +121,27 @@ def run(spark, sf_dir: str, repl: int) -> dict:
             continue
         timed(name, fn)
     t.unpersist()
-    return {"n_turns": n_turns, "timings": timings}
+    # second scale point (round-3 verdict: record the headline at BOTH
+    # 1M and 5M turns so round-over-round deltas stop mixing scale
+    # with speed).  repl//5 → 1M turns at the default sf0.1/repl=50.
+    n_turns_small = None
+    if not only and repl >= 5:
+        t2 = replicated_transcripts(spark, sf_dir, repl // 5).cache()
+        n_turns_small = t2.count()
+
+        def _run_merge_small():
+            stg: list = []
+            _noop_write(P.full_merge(t2, DT_AFTER, DT_BEFORE, staging=stg))
+            for s in stg:
+                s.unpersist(blocking=True)
+
+        timed("parse_merge_1m", _run_merge_small)
+        t2.unpersist()
+    return {
+        "n_turns": n_turns,
+        "n_turns_small": n_turns_small,
+        "timings": timings,
+    }
 
 
 def main() -> None:
@@ -145,6 +165,11 @@ def main() -> None:
         "total_sec": round(total, 3),
         "repl": repl,
     }
+    if res.get("n_turns_small") and "parse_merge_1m" in res["timings"]:
+        out["n_turns_small"] = res["n_turns_small"]
+        out["turns_per_sec_1m"] = round(
+            res["n_turns_small"] / res["timings"]["parse_merge_1m"]
+        )
     spark.stop()
     print(json.dumps(out))
 

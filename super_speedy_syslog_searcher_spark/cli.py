@@ -258,6 +258,98 @@ def _maybe_summary(args, t, n: int) -> None:
         )
 
 
+
+def _journal_formats():
+    """journalctl-compatible renderings (JournalReader's output modes,
+    src/readers/journalreader.rs:544-583,1705) as single JVM-side
+    projection expressions over the merged frame.  Field mapping:
+    _HOSTNAME=conv_id, SYSLOG_IDENTIFIER=role, _PID=turn_idx,
+    MESSAGE=text, __REALTIME_TIMESTAMP=unix micros of ts_eff."""
+    from pyspark.sql import functions as F
+
+    def head(fmt):
+        return lambda df, _f=fmt: F.concat(
+            F.date_format("ts_eff", _f), F.lit(" "),
+            F.col("conv_id"), F.lit(" "), F.col("role"),
+            F.lit("["), F.col("turn_idx").cast("string"), F.lit("]: "),
+            F.col("text"),
+        )
+
+    def short_unix(df):
+        return F.concat(
+            F.format_string(
+                "%.6f", F.unix_micros("ts_eff") / F.lit(1_000_000.0)
+            ),
+            F.lit(" "), F.col("conv_id"), F.lit(" "), F.col("role"),
+            F.lit("["), F.col("turn_idx").cast("string"), F.lit("]: "),
+            F.col("text"),
+        )
+
+    def short_monotonic(df):
+        # [   sec.micros] since the stream's first message — one
+        # scalar min() job, then a distributed projection
+        t0 = df.agg(F.min(F.unix_micros("ts_eff")).alias("m")).collect()[
+            0
+        ]["m"] or 0
+        return F.concat(
+            F.format_string(
+                "[%12.6f]",
+                (F.unix_micros("ts_eff") - F.lit(t0)) / F.lit(1_000_000.0),
+            ),
+            F.lit(" "), F.col("conv_id"), F.lit(" "), F.col("role"),
+            F.lit("["), F.col("turn_idx").cast("string"), F.lit("]: "),
+            F.col("text"),
+        )
+
+    def export(df):
+        return F.concat(
+            F.lit("__REALTIME_TIMESTAMP="),
+            F.unix_micros("ts_eff").cast("string"),
+            F.lit("\n_HOSTNAME="), F.col("conv_id"),
+            F.lit("\nSYSLOG_IDENTIFIER="), F.col("role"),
+            F.lit("\n_PID="), F.col("turn_idx").cast("string"),
+            F.lit("\nMESSAGE="), F.col("text"), F.lit("\n"),
+        )
+
+    def verbose(df):
+        return F.concat(
+            F.date_format("ts_eff", "EEE yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"),
+            F.lit(" [s="), F.col("conv_id"), F.lit(";i="),
+            F.col("turn_idx").cast("string"), F.lit("]"),
+            F.lit("\n    _HOSTNAME="), F.col("conv_id"),
+            F.lit("\n    SYSLOG_IDENTIFIER="), F.col("role"),
+            F.lit("\n    _PID="), F.col("turn_idx").cast("string"),
+            F.lit("\n    MESSAGE="), F.col("text"), F.lit("\n"),
+        )
+
+    return {
+        "short": head("MMM dd HH:mm:ss"),
+        "short-precise": head("MMM dd HH:mm:ss.SSSSSS"),
+        "short-iso": head("yyyy-MM-dd'T'HH:mm:ssZ"),
+        "short-iso-precise": head("yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ"),
+        "short-full": head("EEE yyyy-MM-dd HH:mm:ss 'UTC'"),
+        "short-unix": short_unix,
+        "short-monotonic": short_monotonic,
+        "export": export,
+        "verbose": verbose,
+    }
+
+
+class _LazyFormats(dict):
+    def __contains__(self, k):
+        return k in (
+            "short", "short-precise", "short-iso", "short-iso-precise",
+            "short-full", "short-unix", "short-monotonic", "export",
+            "verbose",
+        )
+
+    def __getitem__(self, k):
+        return _journal_formats()[k]
+
+
+_JOURNAL_FORMATS = _LazyFormats()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="s4spark", description=__doc__.splitlines()[0]
@@ -273,12 +365,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="width-align the prepended conv column (s4 -w)")
     ap.add_argument("--separator", default=" ")
     ap.add_argument("--format", dest="out_format", default="default",
-                    choices=("default", "jsonl", "cat"),
+                    choices=("default", "jsonl", "cat", "short",
+                             "short-precise", "short-iso",
+                             "short-iso-precise", "short-full",
+                             "short-monotonic", "short-unix", "export",
+                             "verbose"),
                     help="output rendering (s4's JournalReader renders "
-                         "journalctl-compatible formats; here each mode "
-                         "is a projection expression): default = text "
-                         "with requested prepends, jsonl = one JSON "
-                         "object per row, cat = bare text, no prepends")
+                         "the journalctl output modes, journalreader.rs"
+                         ":544-583; here each mode is ONE distributed "
+                         "projection expression): default = text with "
+                         "requested prepends, jsonl = one JSON object "
+                         "per row, cat = bare text, plus the "
+                         "journalctl family (short*, export, verbose) "
+                         "with hostname=conv, identifier=role, "
+                         "pid=turn_idx")
     ap.add_argument("--summary", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
@@ -335,6 +435,19 @@ def main(argv: list[str] | None = None) -> int:
             sys.stdout.write(row["line"] + "\n")
             n += 1
         _maybe_summary(args, t, n)  # --summary works with jsonl too
+        spark.stop()
+        return 0
+    if args.out_format in _JOURNAL_FORMATS:
+        lines = merged.select(
+            _JOURNAL_FORMATS[args.out_format](merged).alias("line")
+        )
+        if args.limit:
+            lines = lines.limit(args.limit)
+        n = 0
+        for row in lines.toLocalIterator():
+            sys.stdout.write(row["line"] + "\n")
+            n += 1
+        _maybe_summary(args, t, n)
         spark.stop()
         return 0
     out = F.col("text")

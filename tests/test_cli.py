@@ -188,3 +188,35 @@ def test_cli_format_jsonl():
         assert set(r) >= {"ts", "conv_id", "turn_idx", "role", "text"}
     stamps = [r["ts"] for r in rows]
     assert stamps == sorted(stamps)
+
+
+def test_cli_format_short_iso_and_export():
+    """journalctl-family output modes render distributed: short-iso
+    lines carry an ISO stamp + host/ident[pid] prefix; export emits
+    key=value blocks (journalreader.rs:544-583 mode set)."""
+    def run(fmt):
+        out = subprocess.run(
+            [
+                sys.executable, "-m",
+                "super_speedy_syslog_searcher_spark.cli",
+                "/root/testdata/sf0.001",
+                "-a", "2024-01-10", "-b", "@+5d",
+                "--format", fmt, "--limit", "5",
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return out.stdout
+
+    import re as _re
+
+    short = run("short-iso").splitlines()
+    assert len(short) == 5
+    assert all(
+        _re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+0000 conv-\d+ \w+\[\d+\]: ", l)
+        for l in short
+    ), short[0]
+
+    exp = run("export")
+    assert "__REALTIME_TIMESTAMP=" in exp
+    assert "MESSAGE=" in exp and "_HOSTNAME=conv-" in exp
