@@ -201,10 +201,8 @@ def read_log_files_decoded(
                 "conv_id": [], "turn_idx": [], "role": [],
                 "text": [], "tool": [], "ts": [],
             }
-            for path, mtime, content in zip(
-                pdf["path"], pdf["modificationTime"], pdf["content"]
-            ):
-                data = _decompress(path, bytes(content))
+
+            def emit(source, mtime, data):
                 enc = charset or sniff_encoding(data[:64])
                 # the explicit-endian codecs keep U+FEFF; drop the BOM
                 # bytes so line 0 starts at the real text
@@ -214,12 +212,41 @@ def read_log_files_decoded(
                         break
                 lines = data.decode(enc, errors="replace").splitlines()
                 for i, line in enumerate(lines):
-                    out["conv_id"].append(path)
+                    out["conv_id"].append(source)
                     out["turn_idx"].append(i)
                     out["role"].append("log")
                     out["text"].append(line)
                     out["tool"].append("none")
                     out["ts"].append(mtime)
+
+            for path, mtime, content in zip(
+                pdf["path"], pdf["modificationTime"], pdf["content"]
+            ):
+                if path.endswith((".tar", ".tar.gz", ".tgz")):
+                    # archive members become independent sources
+                    # ('file.tar!member', process_path_tar parity —
+                    # filepreprocessor.rs:1205; each member keeps its
+                    # own mtime like the reference's tar entries)
+                    import io
+                    import tarfile
+
+                    raw = bytes(content)
+                    if path.endswith((".tar.gz", ".tgz")):
+                        raw = gzip.decompress(raw)
+                    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            mdata = _decompress(
+                                m.name, tf.extractfile(m).read()
+                            )
+                            emit(
+                                f"{path}!{m.name}",
+                                pd.Timestamp(m.mtime, unit="s"),
+                                mdata,
+                            )
+                    continue
+                emit(path, mtime, _decompress(path, bytes(content)))
             yield pd.DataFrame(out)
 
     return (

@@ -190,3 +190,44 @@ def test_checkpoint_n_buckets_mismatch_fails(spark, tmp_path):
     # same n_buckets resumes fine
     more = cp.run_partitioned(t, out, n_buckets=4, max_partitions=1)
     assert len(more) == 1
+
+
+def test_tar_member_sources(spark, tmp_path):
+    """.tar members are enumerated as independent sources
+    ('archive.tar!member' — process_path_tar parity,
+    filepreprocessor.rs:1205), including nested .gz members, each with
+    the member's own mtime."""
+    import gzip
+    import io
+    import tarfile
+
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        read_log_files_decoded,
+    )
+
+    t = tmp_path / "logs.tar"
+    members = [
+        ("a.log", b"2024-01-05T03:04:05 one\n  cont\n"),
+        ("sub/b.log.gz", gzip.compress(b"1704112402.123456 strace\n")),
+    ]
+    with tarfile.open(t, "w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1704112400
+            tf.addfile(info, io.BytesIO(data))
+
+    rows = read_log_files_decoded(spark, str(t)).collect()
+    by_src = {}
+    for r in rows:
+        key = r["conv_id"].split("/")[-1] if "!" not in r["conv_id"] else (
+            r["conv_id"].rsplit("!", 1)[-1]
+        )
+        by_src.setdefault(key, []).append((r["turn_idx"], r["text"]))
+    assert sorted(by_src) == ["a.log", "sub/b.log.gz"]
+    assert [t for _, t in sorted(by_src["a.log"])] == [
+        "2024-01-05T03:04:05 one", "  cont",
+    ]
+    assert by_src["sub/b.log.gz"] == [(0, "1704112402.123456 strace")]
+    assert all("logs.tar!" in r["conv_id"] for r in rows)
+    assert all(str(r["ts"]).startswith("2024-01-01") for r in rows)
