@@ -152,6 +152,28 @@ def q_conv_dominant_pattern(spark, sf_dir):
     )
 
 
+def q_union_merge(spark, sf_dir):
+    """Multi-source union → ordered merge (SURVEY §2.8 set ops under
+    the driver oracle): the transcripts table unions with a second
+    derived source (same lines, 'alt-'-prefixed conversations — the
+    analogue of handing s4 the same file twice under different
+    paths), then runs the full dt-filtered global merge.  Every turn
+    ties with its twin on ts_eff, so the query also pins the
+    deterministic tie-break (ts_eff, conv_id, turn_idx) at 2× scale."""
+    t = _t(spark, sf_dir)
+    t2 = t.select(
+        F.concat(F.lit("alt-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    merged = P.full_merge(t.unionByName(t2), DT_AFTER, DT_BEFORE)
+    return with_global_seq(merged, ordered=True).select(
+        F.col("msg_seq").cast("bigint").alias("msg_seq"),
+        "conv_id",
+        "turn_idx",
+        "ts_eff",
+    )
+
+
 def q_logfile_merge(spark, sf_dir):
     """Raw log-FILE source end-to-end under the driver oracle — the
     analogue of the reference's file-corpus golden run
@@ -548,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_ordered": q_merge_ordered,
         "logfile_merge": q_logfile_merge,
         "fixedstruct_records": q_fixedstruct_records,
+        "union_merge": q_union_merge,
         "pattern_counts": q_pattern_counts,
         "sink_counts": q_sink_counts,
         "hourly_hist": q_hourly_hist,
@@ -595,6 +618,15 @@ FROM exp""",
 SELECT CAST(row_number() OVER (ORDER BY ts_eff, conv_id, turn_idx) AS BIGINT) AS msg_seq,
        conv_id, turn_idx, role, tool, text, ts_eff
 FROM asm WHERE {rng}""",
+        "union_merge": f"""{b},
+u AS (
+  SELECT conv_id, turn_idx, ts_eff FROM asm
+  UNION ALL
+  SELECT 'alt-' || conv_id, turn_idx, ts_eff FROM asm
+)
+SELECT CAST(row_number() OVER (ORDER BY ts_eff, conv_id, turn_idx) AS BIGINT) AS msg_seq,
+       conv_id, turn_idx, ts_eff
+FROM u WHERE {rng}""",
         "logfile_merge": f"""{b}
 SELECT 'f' || CAST(CAST(substr(conv_id, 6, 5) AS INT) % 3 AS VARCHAR) AS file_label,
        _sink AS sink,
