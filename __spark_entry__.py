@@ -415,6 +415,38 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_assembly(spark, sf_dir):
+    """Stateful streaming sysline assembly under the driver oracle:
+    readStream → parse → applyInPandasWithState continuation attach
+    (streaming/stateful.py), drained with Trigger.AvailableNow to
+    parquet, then compared row-for-row against the oracle's
+    last-anchor-wins window.  The streaming path runs NO repair
+    stage, so dmesg-uptime rows (null raw ts) attach like
+    continuations and the oracle models exactly that raw-parse
+    semantic (dmesg excluded from the anchor columns)."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.streaming.stateful import (
+        run_assembled_available_now,
+    )
+
+    session.prep(spark)
+    t = _t(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4sasm_in_")
+    out_dir = tempfile.mkdtemp(prefix="s4sasm_out_")
+    ck = tempfile.mkdtemp(prefix="s4sasm_ck_")
+    t.write.mode("overwrite").parquet(in_dir)
+    run_assembled_available_now(spark, in_dir, out_dir, ck)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("msg_turn_idx").cast("int").alias("msg_turn_idx"),
+        "ts_eff",
+        "sink_eff",
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have
     no natural near-dups (max pairwise cosine ~0.44), so the query
@@ -575,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": q_sink_counts,
         "hourly_hist": q_hourly_hist,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_assembly": q_streaming_assembly,
         "conv_summary": q_conv_summary,
         "routed_enriched": q_routed_enriched,
         "global_summary": q_global_summary,
@@ -662,6 +695,24 @@ SELECT date_trunc('hour', _ts_parsed) AS hour, _sink AS sink,
 FROM exp
 WHERE _ts_parsed IS NOT NULL AND _sink <> 'dmesg_uptime'
 GROUP BY 1, 2""",
+        "streaming_assembly": f"""{b},
+raw AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
+              THEN _ts_parsed END AS tsp,
+         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
+              THEN turn_idx END AS tpi,
+         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
+              THEN _sink END AS sk
+  FROM exp
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(last_value(tpi IGNORE NULLS) OVER w AS INT) AS msg_turn_idx,
+       last_value(tsp IGNORE NULLS) OVER w AS ts_eff,
+       coalesce(last_value(sk IGNORE NULLS) OVER w, 'continuation') AS sink_eff
+FROM raw
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "conv_summary": f"""{b},
 oo AS (
   SELECT conv_id, turn_idx, _ts_parsed,
