@@ -23,6 +23,7 @@ from super_speedy_syslog_searcher_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketch,
     stats,
     textstats,
 )
@@ -541,6 +542,32 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_distinct_kmv(spark, sf_dir):
+    """Deterministic K-minimum-values distinct estimate of the corpus
+    vocabulary (engine-portable alternative to HLL++; the DuckDB
+    oracle reproduces the estimate bit-for-bit)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    return sketch.kmv_distinct(toks, "tok", k=256)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 10% hash-bucket sample of documents, tallied per
+    stratum — the reproducible train/val-split shape (pure narrow
+    filter, zero shuffle before the tally)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = sketch.stratified_sample(docs, "doc_id", pct=10)
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("rows"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
 # ------------------------------------------------ general OLAP (TPC-H-ish)
 
 def q_tpch_q1(spark, sf_dir):
@@ -628,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "distinct_kmv": q_distinct_kmv,
+        "stratified_sample": q_stratified_sample,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -789,6 +818,25 @@ _HEX_CASE = (
 )
 
 _STOPS = "('the','a','of','and','to','in','is','it','that','for')"
+
+
+def _hex13_sql(expr: str) -> str:
+    """DuckDB: first 13 hex digits of md5(expr) → BIGINT (the same
+    52-bit hash operators/sketch.py computes with Spark's conv)."""
+    def nib(i: int) -> str:
+        cases = " ".join(
+            f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef"
+        )
+        return (
+            f"CAST((CASE substr(md5({expr}), {i}, 1) {cases} END)"
+            " AS BIGINT)"
+        )
+
+    return (
+        "("
+        + " + ".join(f"{nib(i)} * {16 ** (13 - i)}" for i in range(1, 14))
+        + ")"
+    )
 
 _ANN_NORM_CTE = """
 n AS (SELECT vec_id, embedding,
@@ -982,6 +1030,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_transform(generate_series(0, k - 1),
                         i -> substr(hx, i * 32 + 1, 2)), ':') AS frames
 FROM f""",
+        "distinct_kmv": f"""WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+h AS (SELECT DISTINCT {_hex13_sql('t')} AS hv FROM tok),
+mins AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(CASE WHEN count(*) < 256 THEN count(*)
+            ELSE {255 * 16**13} // max(hv) END AS BIGINT) AS est_distinct
+FROM mins""",
+        "stratified_sample": f"""WITH s AS (
+  SELECT * FROM documents
+  WHERE ({_hex13_sql('CAST(doc_id AS VARCHAR)')}) % 100 < 10)
+SELECT lang, CAST(count(*) AS BIGINT) AS rows,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM s GROUP BY lang""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,72 @@
+"""Deterministic sketches & sampling for 100 TB training-data
+pipelines.
+
+Not in the reference (s4 sketches nothing), but first-class for a
+large-scale pipeline: exact distinct counts and random samples don't
+scale; *deterministic* hash-based estimates do, and — unlike Spark's
+built-in HLL++ `approx_count_distinct` — they are engine-portable, so
+the DuckDB oracle reproduces them bit-for-bit.
+
+ * kmv_distinct — K-minimum-values distinct estimator
+   (Bar-Yossef et al., "Counting distinct elements in a data
+   stream"): keep the K smallest normalized hashes; with the K-th
+   smallest at fraction v of the hash space, distinct ≈ (K-1)/v.
+   Scale shape: a global top-K over hashes — Spark turns
+   orderBy().limit(K) into TakeOrderedAndProject (per-partition
+   heaps + a K-row driver merge), never a full sort.
+ * stratified_sample — md5-bucket sampling: row kept iff its id
+   hashes into the first `pct` of 100 buckets.  Per-stratum
+   proportions hold automatically, the choice is stable across runs
+   and engines (reproducible train/val splits), and the filter is a
+   pure map — no shuffle at all.
+
+Hashes use the first 13 hex digits of md5 (52 bits — exact in the
+integer/double ranges of BOTH engines; 15+ digits would exceed 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX13 = 16 ** 13  # hash-space size (52 bits)
+
+
+def _h13(col) -> F.Column:
+    """md5-based 52-bit uniform hash of a column (engine-portable)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count estimate for `col`.
+
+    Returns one row (k_used, est_distinct).  When fewer than k
+    distinct hashes exist the estimate IS the exact distinct count.
+    All-integer math: est = (k-1) * 16^13 // h_k (no float rounding
+    to diverge between engines)."""
+    mins = (
+        df.select(_h13(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)  # TakeOrderedAndProject: top-K, not a global sort
+    )
+    total = (k - 1) * HEX13  # < 2^63 for k ≤ 8192
+    return mins.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.when(F.count("*") < k, F.count("*").cast("bigint"))
+        .otherwise(F.expr(f"{total} DIV max(h)").cast("bigint"))
+        .alias("est_distinct"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, pct: int = 10
+) -> DataFrame:
+    """Deterministic `pct`% sample: keep rows whose id hashes into
+    buckets [0, pct) of 100.  A pure narrow filter — the 100 TB
+    train/val-split shape (stable across runs, no shuffle, prunable
+    if the table is bucketed on the same hash)."""
+    bucket = _h13(F.col(id_col)) % 100
+    return df.filter(bucket < pct)

@@ -1,0 +1,73 @@
+"""Deterministic sketches: KMV distinct estimator + hash-stratified
+sampling (operators/sketch.py)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.operators import sketch
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmv_estimate_accuracy_and_exact_small(spark):
+    # exact below k: 100 distinct values with k=256 → exact count
+    small = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    r = sketch.kmv_distinct(small, "v", k=256).collect()[0]
+    assert r["est_distinct"] == 100 and r["k_used"] == 100
+
+    # estimate above k: 20k distinct, k=256 → within ±20% (KMV stderr
+    # ≈ 1/sqrt(k-2) ≈ 6.3%; 20% is > 3σ)
+    big = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    r = sketch.kmv_distinct(big, "v", k=256).collect()[0]
+    assert r["k_used"] == 256
+    assert 16_000 <= r["est_distinct"] <= 24_000, r["est_distinct"]
+
+    # duplicates don't inflate the estimate
+    dup = big.union(big)
+    r2 = sketch.kmv_distinct(dup, "v", k=256).collect()[0]
+    assert r2["est_distinct"] == r["est_distinct"]
+
+
+def test_kmv_plan_is_topk_not_full_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort+Exchange of all
+    hashes — the 100 TB shape."""
+    big = spark.range(10_000).select(F.col("id").cast("string").alias("v"))
+    plan = _plan(sketch.kmv_distinct(big, "v", k=64))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    a = sketch.stratified_sample(docs, "doc_id", pct=10)
+    b = sketch.stratified_sample(docs, "doc_id", pct=10)
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b  # reproducible split
+    # ~10% overall and per stratum (binomial 3σ bounds)
+    assert 800 <= len(ids_a) <= 1200
+    per = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert 230 <= n <= 440, (lang, n)
+    # pct=100 keeps everything; disjointness of complements
+    full = sketch.stratified_sample(docs, "doc_id", pct=100)
+    assert full.count() == 10_000
+
+
+def test_stratified_sample_no_shuffle(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = _plan(sketch.stratified_sample(docs, "doc_id", pct=10))
+    assert "Exchange" not in plan  # pure narrow filter
