@@ -6,7 +6,6 @@ import contextlib
 import io
 import re
 
-import numpy as np
 import pandas as pd
 import pytest
 
