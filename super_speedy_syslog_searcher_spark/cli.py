@@ -110,6 +110,55 @@ def decode_separator(s: str) -> str:
     return "".join(out)
 
 
+
+_STRF_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%I": "hh", "%l": "h", "%M": "mm",
+    "%S": "ss", "%3f": "SSS", "%6f": "SSSSSS", "%f": "SSSSSS",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%j": "DDD", "%p": "a", "%z": "Z", "%:z": "xxx", "%Z": "zz",
+    "%%": "'%'",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    """strftime directives → Java date_format pattern
+    (--prepend-dt-format, s4.rs:3045: the reference hands the format
+    to chrono; here it compiles to ONE JVM-side date_format).  Literal
+    runs containing letters are quoted; unknown directives raise."""
+    out, lit, i = [], [], 0
+
+    def flush():
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s) or "'" in s:
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%":
+            for key in ("%:z", "%3f", "%6f"):
+                if fmt.startswith(key, i):
+                    flush()
+                    out.append(_STRF_TO_JAVA[key])
+                    i += len(key)
+                    break
+            else:
+                key = fmt[i : i + 2]
+                if key not in _STRF_TO_JAVA:
+                    raise ValueError(f"unsupported strftime directive {key!r}")
+                flush()
+                out.append(_STRF_TO_JAVA[key])
+                i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
 def tz_offset_minutes(z: str) -> int:
     """-z / filter-suffix value → signed offset minutes: ±hhmm,
     ±hh:mm, bare ±hh (%#z), or a named timezone from the pattern
@@ -361,8 +410,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-z", "--prepend-tz", default=None,
                     help="prepend stamp in this tz (±hhmm / ±hh:mm / name)")
     ap.add_argument("-l", "--prepend-conv", action="store_true")
+    ap.add_argument("-n", "--prepend-filename", action="store_true",
+                    help="prepend the source's basename (s4 -n; for "
+                         "table input the conv id's last path segment)")
+    ap.add_argument("-p", "--prepend-filepath", action="store_true",
+                    help="prepend the source's full path (s4 -p)")
     ap.add_argument("-w", "--prepend-align", action="store_true",
                     help="width-align the prepended conv column (s4 -w)")
+    ap.add_argument("--prepend-dt-format", default=None,
+                    help="strftime format for the -u/-z stamp "
+                         "(s4 --prepend-dt-format; compiled to one "
+                         "JVM-side date_format)")
+    ap.add_argument("--prepend-separator", default=None,
+                    help="separator BETWEEN prepended fields "
+                         "(defaults to --separator; s4 "
+                         "--prepend-separator)")
     ap.add_argument("--separator", default=" ")
     ap.add_argument("--format", dest="out_format", default="default",
                     choices=("default", "jsonl", "cat", "short",
@@ -389,6 +451,11 @@ def main(argv: list[str] | None = None) -> int:
         after, before = resolve_filters(args.dt_after, args.dt_before)
         z_offmin = (
             tz_offset_minutes(args.prepend_tz) if args.prepend_tz else None
+        )
+        dt_fmt = (
+            strftime_to_java(args.prepend_dt_format)
+            if args.prepend_dt_format
+            else None
         )
     except ValueError as ex:
         ap.error(str(ex))  # friendly one-liner + exit 2, s4-style
@@ -454,10 +521,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.out_format == "cat":
         # journalctl -o cat analogue: message text only, no prepends
         args.prepend_conv = False
+        args.prepend_filename = False
+        args.prepend_filepath = False
         args.prepend_utc = False
         args.prepend_tz = None
-    if args.prepend_conv:
-        conv = F.concat(F.col("conv_id"), F.lit(":"))
+    psep = (
+        decode_separator(args.prepend_separator)
+        if args.prepend_separator is not None
+        else sep
+    )
+    if args.prepend_conv or args.prepend_filename or args.prepend_filepath:
+        # -l conv label; -n basename of the source (last path segment);
+        # -p full path (s4 -n/-p distinction, s4.rs:3064,3076)
+        base = (
+            F.element_at(F.split(F.col("conv_id"), "/"), -1)
+            if args.prepend_filename and not args.prepend_filepath
+            else F.col("conv_id")
+        )
+        conv = F.concat(base, F.lit(":"))
         if args.prepend_align:
             # s4 -w: pad every source label to the widest (s4.rs:
             # 6282-6299 computes prepended-name width before printing).
@@ -467,6 +548,7 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]["w"] or 0
             conv = F.rpad(conv, width + 1, " ")
         out = F.concat(conv, F.lit(sep), out)
+    stamp = None
     if args.prepend_tz:
         # arbitrary-offset stamp: shift then format, suffix = ±hhmm
         suffix = "{}{:02d}{:02d}".format(
@@ -474,21 +556,21 @@ def main(argv: list[str] | None = None) -> int:
             abs(z_offmin) // 60,
             abs(z_offmin) % 60,
         )
-        out = F.concat(
+        stamp = F.concat(
             F.date_format(
                 F.col("ts_eff") + F.expr(f"INTERVAL {z_offmin} MINUTES"),
-                "yyyyMMdd'T'HHmmss",
+                dt_fmt or "yyyyMMdd'T'HHmmss",
             ),
-            F.lit(suffix),
-            F.lit(sep),
-            out,
+            F.lit("" if dt_fmt else suffix),
         )
     elif args.prepend_utc:
-        out = F.concat(
-            F.date_format("ts_eff", "yyyyMMdd'T'HHmmss'Z'"),
-            F.lit(sep),
-            out,
+        stamp = F.concat(
+            F.date_format(
+                "ts_eff", dt_fmt or "yyyyMMdd'T'HHmmss'Z'"
+            )
         )
+    if stamp is not None:
+        out = F.concat(stamp, F.lit(psep), out)
     lines = merged.select(out.alias("line"))
     if args.limit:
         lines = lines.limit(args.limit)

@@ -220,3 +220,39 @@ def test_cli_format_short_iso_and_export():
     exp = run("export")
     assert "__REALTIME_TIMESTAMP=" in exp
     assert "MESSAGE=" in exp and "_HOSTNAME=conv-" in exp
+
+
+def test_cli_prepend_dt_format_and_filename():
+    """--prepend-dt-format compiles strftime to one JVM date_format;
+    -n prepends the source basename (s4 -n / --prepend-dt-format)."""
+    import re as _re
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            "/root/testdata/sf0.001",
+            "-a", "2024-01-10", "-b", "@+5d",
+            "-u", "--prepend-dt-format", "%Y-%m-%d %H:%M:%S",
+            "-n", "--prepend-separator", "|",
+            "--limit", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = out.stdout.splitlines()
+    assert len(lines) == 4
+    assert all(
+        _re.match(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\|conv-\d+: ", l)
+        for l in lines
+    ), lines[0]
+
+
+def test_strftime_to_java_rejects_unknown():
+    import pytest as _pytest
+
+    from super_speedy_syslog_searcher_spark.cli import strftime_to_java
+
+    assert strftime_to_java("%Y%m%dT%H%M%S%z") == "yyyyMMdd'T'HHmmssZ"
+    with _pytest.raises(ValueError):
+        strftime_to_java("%Q")
