@@ -23,6 +23,7 @@ def parse_repair(
     anchor_year: int = 2024,
     narrow: bool = False,
     freeze: bool = False,
+    scatter: bool = True,
 ) -> DataFrame:
     """narrow=True drops the text payload right after the parse UDF
     (keeping text_len for the summary stats) so the window/shuffle
@@ -42,7 +43,9 @@ def parse_repair(
     the frozen path degenerates to a single extract per batch and
     becomes the right choice; the plumbing is here for that layout."""
     winners = learn_winners(df, anchor_year=anchor_year) if freeze else None
-    p = parse_stage(df, anchor_year=anchor_year, winners=winners)
+    p = parse_stage(
+        df, anchor_year=anchor_year, winners=winners, scatter=scatter
+    )
     if narrow:
         p = p.withColumn("text_len", F.length("text").cast("int")).drop(
             "text"
@@ -55,8 +58,17 @@ def assembled(
     anchor_year: int = 2024,
     narrow: bool = False,
     freeze: bool = False,
+    scatter: bool = True,
 ) -> DataFrame:
-    return assemble_stage(parse_repair(df, anchor_year, narrow, freeze))
+    """scatter=False is the conv-bucketed-layout fast path: when the
+    input is bucketed (and sorted) by conv_id — the Iceberg
+    bucket(conv_id) table layout — the parse keeps the bucket
+    partitioning and every repair/assembly window reuses it, so the
+    whole stage runs with ZERO Exchange (asserted in
+    tests/test_round3_ops.py::test_bucketed_layout_assembles_without_shuffle)."""
+    return assemble_stage(
+        parse_repair(df, anchor_year, narrow, freeze, scatter=scatter)
+    )
 
 
 def full_merge(
