@@ -1003,6 +1003,30 @@ SCAN_PATTERNS: list[Pattern] = [
         ],
     ),
     Pattern(
+        73, "scan_dow0_b_d_y_hms",
+        # weekday anchored at byte 0 (reference entries 34-37:
+        # '^CGP_DAYa RP_dcq RP_BLANK12 CGP_MONTHBb ... CGP_TZ*',
+        # ere_datetimes_impl.rs): at line start the FULL-case tz
+        # alternation applies (CGP_TZZ includes lowercase, :1809), so
+        # 'sunday Jun 28 2022 01:51:12 yekt' shifts — while the same
+        # tail mid-line (entry 148's RP_NOALPHAb no-tz shape) stays
+        # message text via pattern 61's strict tail.  Must precede 61.
+        rf"^(?P<pre>)(?P<dt>(?:{_DOW_ANY_CI})[\.,]? {{1,2}}{_B_ANY}"
+        rf"[ \t]{{1,2}}{_Dsd},?[ \t]{{1,2}}{_Y4}"
+        rf"[ \t]{{1,2}}{_Hsd}:{_MI2}:{_S2s}{_FR}{_SC_TZ_OPT})",
+        "mon_name",
+        dt_beg=None,
+        scan=True,
+        tests=[
+            ("sunday Jun 28 2022 01:51:12 yekt FOOBAR",
+             "2022-06-27 20:51:12", 0, 32),
+            ("SAT, Jun 28 2022 01:51:12 WITA:FOOBAR",
+             "2022-06-27 17:51:12", 0, 30),
+            ("mon Jun 28 2022 01:51:12 +1230",
+             "2022-06-27 13:21:12", 0, 30),
+        ],
+    ),
+    Pattern(
         61, "scan_b_d_y_hms",
         # Month-name day year time (DTFSS_BdHMSY* / bdHMSY*); named tz
         # only counts across a tab / 2+ spaces (see _SC_TZ_TAIL_STRICT)
@@ -1202,6 +1226,46 @@ SCAN_PATTERNS: list[Pattern] = [
             ("[0509/110534.660:VERBOSE1:x]",
              "2024-05-09 11:05:34.660000", 1, 16),
             ('{"logTime": "0425/073750", "v":1}', "2024-04-25 07:37:50", 13, 24),
+        ],
+    ),
+    Pattern(
+        74, "scan_compact_ymd_hms",
+        # compact 'YYYYmdd_HMMSS' (reference entry 142 DTFSS_YsdkMS:
+        # CGP_YEAR D_Deq CGP_MONTHms D_Deq CGP_DAYde D_DHcdqu
+        # CGP_HOUR_sd D_T CGP_MINUTE D_T CGP_SECOND — all date/time
+        # separators optional, single-digit month and hour:
+        # '2020307_42530:/sbin/e2fsck').  We keep the date-time
+        # joiner REQUIRED (every reference embedded case has one) so
+        # a bare 13-digit run can never false-positive as a datetime.
+        rf"{_SC_PRE}(?P<dt>{_Y4}{_DSEP}?(?P<M>1[012]|\d){_DSEP}?{_D2}"
+        rf"[ T_:\-]{_Hsd}[:\-]?{_MI2}[:\-]?{_S2s})(?![0-9A-Za-z])",
+        "ymd",
+        dt_beg=None,
+        scan=True,
+        tests=[
+            ("2020307_42530:/sbin/e2fsck -pvf",
+             "2020-03-07 04:25:30", 0, 13),
+            ("[2020307_42530] /sbin/e2fsck -pvf",
+             "2020-03-07 04:25:30", 1, 14),
+        ],
+    ),
+    Pattern(
+        75, "scan_md_slash_hms_f",
+        # no-year 'mm/dd/HH:MM:SS.fff' (reference entry 187
+        # DTFSS_mdHMSf: CGP_MONTHm D_Deq CGP_DAYd D_DHcds CGP_HOUR
+        # D_Teq CGP_MINUTE D_Teq CGP_SECOND D_SF CGP_FRACTIONAL369 —
+        # Vivaldi '[05/09/11:05:34.660:VERBOSE1:...').  The fraction
+        # is REQUIRED (FRACTIONAL369), which keeps this from eating
+        # month-first m/d/y dates.
+        rf"{_SC_PRE}(?P<dt>{_M2}/{_D2}/{_H2}:{_MI2}:{_S2s}"
+        rf"\.(?P<f>\d{{3}}(?:\d{{3}}){{0,2}}))(?![0-9A-Za-z])",
+        "ymd",
+        dt_beg=None,
+        noyear=True,
+        scan=True,
+        tests=[
+            ("[05/09/11:05:34.660:VERBOSE1:x.cc:445] I",
+             "2024-05-09 11:05:34.660000", 1, 19),
         ],
     ),
 ]

@@ -2,20 +2,18 @@
 (all 188 DateTimeParseInstr entries, ere_datetimes_impl.rs:2317-6439)
 through our bank and assert coverage.
 
-This is the round-3 audit the round-2 verdict asked for: a behavioral
-mapping of every reference DTPD onto the family that covers it
-(tools/dtpd_audit.py regenerates docs/DTPD_AUDIT.md).
-
-Known non-covered remainder (audited, accepted):
- * entries whose per-entry expectations contradict TABLE-ORDER
-   semantics (the reference validates each entry's regex in isolation;
-   under first-match-wins an earlier tz-capturing entry takes the same
-   line — e.g. entry 64's '... 08:45:55 -09:00' vs entry 144's
-   '... 01:51:12 +01:30', entry 148/153's single-space 'WST' vs the
-   CGP_TZZ_U entries 63/85 that precede them)
- * compact single-digit forms with no separators at all
-   ('2020307_42530', entry 142) — ambiguous without the entry's exact
-   context regex
+Round-4 bar (the round-3 verdict's item 1): EVERY one of the 830
+embedded cases must either pass or be a machine-verified
+entry-isolation contradiction.  The reference validates each entry's
+regex ALONE; 7 cases of the no-tz fallback entries (64, 148, 153)
+reuse the haystack shape — four of them the byte-identical haystack —
+of an earlier tz-capturing entry (60, 146, 152) whose own embedded
+case expects the tz SHIFTED.  One deterministic bank can satisfy at
+most one side of each pair; we implement the runtime winner
+(first-match-wins table order tries the tz-shifting entry first).
+tools/dtpd_audit.py proves each such case against its passing twin:
+same digit-normalized shape, and the twin's utc offset exactly
+explains our output.
 """
 
 import pytest
@@ -26,7 +24,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_dtpd_coverage_at_least_90pct():
+def test_dtpd_coverage_complete():
     import sys
 
     sys.path.insert(0, "tools")
@@ -34,12 +32,21 @@ def test_dtpd_coverage_at_least_90pct():
 
     audit = run_audit()
     assert audit["entries_total"] == 188
-    covered = audit["covered"]
-    # ≥90% of the 188 reference DTPDs fully covered (round-3 bar);
-    # currently 182
-    assert covered >= 170, (
-        f"DTPD coverage regressed: {covered}/188 "
-        f"({audit['uncovered']} uncovered, {audit['partial']} partial)"
+    # every entry COVERED or COVERED* (contradicted-only remainder)
+    assert audit["partial"] == 0 and audit["uncovered"] == 0, (
+        f"DTPD coverage regressed: {audit['covered']} covered + "
+        f"{audit['covered_contradicted']} covered*, "
+        f"{audit['partial']} partial, {audit['uncovered']} uncovered"
     )
-    # individual-case floor (currently 819/830)
-    assert audit["cases_pass"] >= 0.95 * audit["cases_total"]
+    # every individual case passes or is twin-verified contradicted
+    assert (
+        audit["cases_pass"] + audit["cases_contradicted"]
+        == audit["cases_total"]
+    ), (
+        f"cases {audit['cases_pass']}+{audit['cases_contradicted']} "
+        f"of {audit['cases_total']}"
+    )
+    # the contradicted remainder must stay the known, proven 7 —
+    # growth here means a real regression hiding behind the twin rule
+    assert audit["cases_contradicted"] <= 7
+    assert audit["cases_pass"] >= 823
