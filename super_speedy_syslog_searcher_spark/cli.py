@@ -175,6 +175,21 @@ def tz_offset_minutes(z: str) -> int:
     raise ValueError(f"unrecognized timezone: {z!r}")
 
 
+def cli_tz_offset(z: str) -> int:
+    """-t/--tz-offset (and -z) value → signed minutes, the reference's
+    cli_process_tz_offset (s4.rs:3232-3269): named timezones resolve
+    through the bank table, an AMBIGUOUS abbreviation is an error
+    (several real-world readings), numeric ±hh[:mm] accepted."""
+    from .patterns import AMBIGUOUS_TZ
+
+    if z.upper() in AMBIGUOUS_TZ:
+        raise ValueError(
+            f"ambiguous timezone {z!r} (this abbreviation refers to "
+            "several timezone offsets)"
+        )
+    return tz_offset_minutes(z)
+
+
 def _offset(sign: str, body: str) -> dt.timedelta:
     total = dt.timedelta()
     for num, unit in re.findall(r"(\d+)([smhdwy])", body):
@@ -189,6 +204,7 @@ def parse_dt_filter(
     value: str,
     now: dt.datetime | None = None,
     other: dt.datetime | None = None,
+    tzmin: int = 0,
 ) -> dt.datetime:
     """One -a/-b value → UTC-naive datetime.
 
@@ -196,13 +212,24 @@ def parse_dt_filter(
     underscore date-times; epoch seconds (±%s); ±offset (relative to
     now, s4.rs:3537); @±offset (relative to the other bound,
     s4.rs:3614).
+
+    tzmin: the job's default tz offset (-t/--tz-offset) in minutes —
+    naive forms are interpreted in that zone (s4.rs:3568 converts
+    `now` into tz_offset before applying durations, and
+    process_dt_exprs parses bare wall-clock values with the default
+    offset); a value carrying its own tz (±hhmm / named / 'Z' / the
+    relative-offset tz swap) overrides it.
     """
     now = now or dt.datetime.now(dt.timezone.utc).replace(
         microsecond=0, tzinfo=None
     )
+    dtz = dt.timedelta(minutes=tzmin)
 
     def _rel(base, m):
-        out = base + _offset(m.group(1), m.group(2))
+        # work in the default-tz wall-clock frame, convert back at
+        # the end — only observable with the '!hh:mm' override or the
+        # explicit tz swap (pure durations cancel the shift)
+        out = base + dtz + _offset(m.group(1), m.group(2))
         if m.group(3) is not None:  # '!hh:mm[:ss]' exact time override
             out = out.replace(
                 hour=int(m.group(3)),
@@ -211,11 +238,15 @@ def parse_dt_filter(
                 microsecond=0,
             )
         if m.group(6):  # tz swap: keep wall clock, change zone
-            out -= dt.timedelta(minutes=tz_offset_minutes(m.group(6)))
-        return out
+            return out - dt.timedelta(
+                minutes=tz_offset_minutes(m.group(6))
+            )
+        return out - dtz
 
     def _tzfix(out, tz):
-        if tz and tz != "Z":
+        if tz is None:
+            return out - dtz  # naive → default zone
+        if tz != "Z":
             out -= dt.timedelta(minutes=tz_offset_minutes(tz))
         return out
 
@@ -249,20 +280,27 @@ def parse_dt_filter(
         s = int(m.group(7) or 0)
         us = int((m.group(8) or "0").ljust(6, "0"))
         return _tzfix(dt.datetime(y, mo, d, h, mi, s, us), m.group(9))
+    lnow = now + dtz  # `now` in the default zone (s4.rs:3568)
     m = _MD.match(value)
     if m:  # %m-%d / %m/%d — year fills from now (s4 add_date_y)
-        return dt.datetime(now.year, int(m.group(1)), int(m.group(2)))
+        return (
+            dt.datetime(lnow.year, int(m.group(1)), int(m.group(2)))
+            - dtz
+        )
     m = _HMS.match(value)
     if m:  # %H:%M[:%S] — date fills from now (s4 add_date_*)
         return dt.datetime(
-            now.year, now.month, now.day,
+            lnow.year, lnow.month, lnow.day,
             int(m.group(1)), int(m.group(2)), int(m.group(3) or 0),
-        )
+        ) - dtz
     raise ValueError(f"unrecognized datetime filter: {value!r}")
 
 
 def resolve_filters(
-    a: str | None, b: str | None, now: dt.datetime | None = None
+    a: str | None,
+    b: str | None,
+    now: dt.datetime | None = None,
+    tzmin: int = 0,
 ) -> tuple[dt.datetime | None, dt.datetime | None]:
     """Resolve -a/-b including one-sided '@' anchoring (both-@ is an
     error, matching the reference)."""
@@ -271,14 +309,14 @@ def resolve_filters(
     if a_at and b_at:
         raise ValueError("only one of -a/-b may use '@' anchoring")
     if a_at:
-        rb = parse_dt_filter(b, now) if b else None
-        return parse_dt_filter(a, now, other=rb), rb
+        rb = parse_dt_filter(b, now, tzmin=tzmin) if b else None
+        return parse_dt_filter(a, now, other=rb, tzmin=tzmin), rb
     if b_at:
-        ra = parse_dt_filter(a, now) if a else None
-        return ra, parse_dt_filter(b, now, other=ra)
+        ra = parse_dt_filter(a, now, tzmin=tzmin) if a else None
+        return ra, parse_dt_filter(b, now, other=ra, tzmin=tzmin)
     return (
-        parse_dt_filter(a, now) if a else None,
-        parse_dt_filter(b, now) if b else None,
+        parse_dt_filter(a, now, tzmin=tzmin) if a else None,
+        parse_dt_filter(b, now, tzmin=tzmin) if b else None,
     )
 
 
@@ -406,6 +444,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("sf_dir", help="testdata dir holding events.parquet")
     ap.add_argument("-a", "--dt-after", default=None)
     ap.add_argument("-b", "--dt-before", default=None)
+    ap.add_argument("-t", "--tz-offset", default=None,
+                    help="default timezone for datetimes without one "
+                         "(±hh[:mm] or unambiguous name; s4 -t, env "
+                         "S4_TZ_OFFSET; default: local system offset)")
     ap.add_argument("-u", "--prepend-utc", action="store_true")
     ap.add_argument("-z", "--prepend-tz", default=None,
                     help="prepend stamp in this tz (±hhmm / ±hh:mm / name)")
@@ -448,9 +490,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.prepend_utc and args.prepend_tz:
         ap.error("-u and -z are mutually exclusive")
     try:
-        after, before = resolve_filters(args.dt_after, args.dt_before)
+        # -t/--tz-offset with S4_TZ_OFFSET env fallback, defaulting to
+        # the local system offset (s4.rs:2985-3008 LOCAL_NOW_OFFSET)
+        import os
+
+        tz_arg = args.tz_offset or os.environ.get("S4_TZ_OFFSET")
+        tzmin = (
+            cli_tz_offset(tz_arg)
+            if tz_arg
+            else int(
+                (
+                    dt.datetime.now().astimezone().utcoffset()
+                    or dt.timedelta()
+                ).total_seconds()
+                // 60
+            )
+        )
+        after, before = resolve_filters(
+            args.dt_after, args.dt_before, tzmin=tzmin
+        )
         z_offmin = (
-            tz_offset_minutes(args.prepend_tz) if args.prepend_tz else None
+            cli_tz_offset(args.prepend_tz) if args.prepend_tz else None
         )
         dt_fmt = (
             strftime_to_java(args.prepend_dt_format)
@@ -475,6 +535,7 @@ def main(argv: list[str] | None = None) -> int:
         t,
         after.isoformat(sep=" ") if after else None,
         before.isoformat(sep=" ") if before else None,
+        tz_offset_min=tzmin,
     )
     sep = decode_separator(args.separator)
     if args.out_format == "jsonl":

@@ -34,6 +34,7 @@ from ..patterns import (
     SCAN_MAX,
     SCAN_PATTERNS,
     TZ_OFFSET_MIN,
+    TZ_OFFSET_MIN_UNAMBIG,
 )
 
 ANCHORED_PATTERNS = [p for p in PATTERNS if not p.scan]
@@ -80,7 +81,9 @@ MONTH_FULL_NUM = {k: int(v) for k, v in MONTHS_FULL.items()}
 MONTH_ANY_NUM = {**MONTH_NUM, **MONTH_FULL_NUM}
 
 
-def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
+def _canonicalize(
+    p, g: pd.DataFrame, anchor_year: int, default_offmin: int = 0
+):
     """Captured groups → (utc timestamps, uptime_us or None).
 
     Vectorized equivalent of captures_to_buffer_bytes
@@ -146,7 +149,13 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             np.where(y2 <= 68, 2000 + y2, 1900 + y2), index=g.index
         )
     elif p.noyear:
-        year = pd.Series(anchor_year, index=g.index)
+        # anchor_year may be a per-row Series (per-source mtime year,
+        # syslogprocessor.rs:628-734 seeds no-year formats from the
+        # file's mtime) or a scalar (table corpus)
+        if isinstance(anchor_year, pd.Series):
+            year = anchor_year.reindex(g.index)
+        else:
+            year = pd.Series(anchor_year, index=g.index)
     else:
         year = g["Y"].astype("int64")
     day = g["D"].str.replace(" ", "").astype("int64")  # 'Jan  1' pad
@@ -173,12 +182,16 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             us = _frac_us(frac[has])
             ts = ts.copy()
             ts[has] = ts[has] + pd.to_timedelta(us, unit="us")
-    # tz → UTC (named map or ±hhmm), else assume UTC.  tz groups may
-    # be optional (angle_dd_mon, every scan pattern): un-captured rows
-    # keep offset 0 rather than tripping NA boolean logic.  A pattern
-    # may carry BOTH a numeric tz and a named tzn group (scan tier's
-    # any-kind tz alternation) — numeric wins where captured.
-    offmin = pd.Series(0, index=g.index, dtype="int64")
+    # tz → UTC (named map or ±hhmm), else apply the job's DEFAULT
+    # offset (s4 -t/--tz-offset, s4.rs:2985-3008: every timestamp
+    # without its own tz — including an AMBIGUOUS or unknown named tz,
+    # datetime.rs:1850-1872 — is interpreted in the default zone;
+    # default 0 = UTC).  tz groups may be optional (angle_dd_mon,
+    # every scan pattern): un-captured rows keep the default rather
+    # than tripping NA boolean logic.  A pattern may carry BOTH a
+    # numeric tz and a named tzn group (scan tier's any-kind tz
+    # alternation) — numeric wins where captured.
+    offmin = pd.Series(default_offmin, index=g.index, dtype="int64")
     done = pd.Series(False, index=g.index)
     # a pattern may carry several alternative tz groups (scan 62 has
     # numeric/named, before/after the year); first captured wins
@@ -197,8 +210,8 @@ def _canonicalize(p, g: pd.DataFrame, anchor_year: int):
             offmin[has] = (
                 g[col][has]
                 .str.upper()
-                .map(TZ_OFFSET_MIN)
-                .fillna(0)
+                .map(TZ_OFFSET_MIN_UNAMBIG)
+                .fillna(default_offmin)
                 .astype("int64")
             )
         done |= has
@@ -353,6 +366,8 @@ def parse_series(
     texts: pd.Series,
     anchor_year: int = ANCHOR_YEAR_DEFAULT,
     winner_pids: pd.Series | None = None,
+    tz_offset_min: int = 0,
+    anchor_years: pd.Series | None = None,
 ) -> pd.DataFrame:
     """text → (ts_parsed, pattern_id, sink, dt_beg, dt_end, uptime_us).
 
@@ -369,6 +384,12 @@ def parse_series(
     bank-order output; misses fall through to the normal walk.
     """
     idx = texts.index
+    # per-row anchor years (index-aligned; NaN → the scalar default)
+    # — s4 seeds each file's no-year formats from that file's mtime
+    if anchor_years is not None:
+        anchor_year = (
+            anchor_years.reindex(idx).fillna(anchor_year).astype("int64")
+        )
     out = pd.DataFrame(
         {
             "ts_parsed": pd.Series(pd.NaT, index=idx, dtype="datetime64[ns]"),
@@ -401,7 +422,7 @@ def parse_series(
         if not hit.any():
             return
         g = ext[hit]
-        ts, up = _canonicalize(p, g, anchor_year)
+        ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
         if up is None:
             valid = ts.notna()
             if not valid.all():  # invalid date → pattern didn't match;
@@ -450,7 +471,7 @@ def parse_series(
             if not hit.any():
                 return
             g = ext[hit]
-            ts, up = _canonicalize(p, g, anchor_year)
+            ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
             valid = ts.notna() if up is None else pd.Series(
                 True, index=g.index
             )
@@ -473,7 +494,12 @@ def parse_series(
     return out
 
 
-def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, frozen=False):
+def make_parse_udf(
+    anchor_year: int = ANCHOR_YEAR_DEFAULT,
+    frozen=False,
+    tz_offset_min: int = 0,
+    anchor_from_ts: bool = False,
+):
     """Arrow-batched pandas UDF over the text column.
 
     The JVM ships Arrow batches to a long-lived Python worker — the
@@ -488,11 +514,33 @@ def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, frozen=False):
     """
     from pyspark.sql.functions import pandas_udf
 
+    if anchor_from_ts:
+        # (ts, text) variant: each row's no-year anchor comes from its
+        # source's mtime stand-in ts (syslogprocessor.rs:628-734)
+        assert not frozen, "anchor_from_ts + frozen not supported"
+
+        @pandas_udf(RESULT_FIELDS)
+        def parse_text_mtime(
+            ts: pd.Series, texts: pd.Series
+        ) -> pd.DataFrame:
+            return parse_series(
+                texts,
+                anchor_year=anchor_year,
+                tz_offset_min=tz_offset_min,
+                anchor_years=ts.dt.year,
+            )
+
+        return parse_text_mtime
+
     if not frozen:
 
         @pandas_udf(RESULT_FIELDS)
         def parse_text(texts: pd.Series) -> pd.DataFrame:
-            return parse_series(texts, anchor_year=anchor_year)
+            return parse_series(
+                texts,
+                anchor_year=anchor_year,
+                tz_offset_min=tz_offset_min,
+            )
 
         return parse_text
 
@@ -501,7 +549,10 @@ def make_parse_udf(anchor_year: int = ANCHOR_YEAR_DEFAULT, frozen=False):
         winner_pids: pd.Series, texts: pd.Series
     ) -> pd.DataFrame:
         return parse_series(
-            texts, anchor_year=anchor_year, winner_pids=winner_pids
+            texts,
+            anchor_year=anchor_year,
+            winner_pids=winner_pids,
+            tz_offset_min=tz_offset_min,
         )
 
     return parse_text_frozen

@@ -60,6 +60,8 @@ def parse_stage(
     anchor_year: int = ANCHOR_YEAR_DEFAULT,
     scatter: bool = True,
     winners: DataFrame | None = None,
+    tz_offset_min: int = 0,
+    anchor_from_ts: bool = False,
 ) -> DataFrame:
     """transcripts → transcripts + (ts_parsed, pattern_id, sink,
     dt_beg, dt_end, uptime_us).
@@ -86,11 +88,20 @@ def parse_stage(
         # it in and hand the pid to the UDF as a COLUMN — no driver
         # collect anywhere on this path (round-2 verdict item)
         df = df.join(F.broadcast(winners), "conv_id", "left")
-        udf = make_parse_udf(anchor_year, frozen=True)
+        udf = make_parse_udf(
+            anchor_year, frozen=True, tz_offset_min=tz_offset_min
+        )
         parsed = df.withColumn(
             "_p", udf(F.col("winner_pid"), F.col(text_col))
         ).drop("winner_pid")
+    elif anchor_from_ts:
+        # per-source anchor year from the mtime stand-in ts column
+        # (log-file sources; syslogprocessor.rs:628-734)
+        udf = make_parse_udf(
+            anchor_year, tz_offset_min=tz_offset_min, anchor_from_ts=True
+        )
+        parsed = df.withColumn("_p", udf(F.col("ts"), F.col(text_col)))
     else:
-        udf = make_parse_udf(anchor_year)
+        udf = make_parse_udf(anchor_year, tz_offset_min=tz_offset_min)
         parsed = df.withColumn("_p", udf(F.col(text_col)))
     return parsed.select("*", *[f"_p.{c}" for c in PARSE_COLS]).drop("_p")

@@ -92,12 +92,15 @@ AMBIGUOUS_TZ = {
     "ACT", "AMT", "AST", "BST", "CDT", "CST", "ECT", "GST", "IST",
     "LHST", "MST", "SST",
 }
+# unambiguous names only — ambiguous/unknown lookups fall through to
+# the job's default tz offset (datetime.rs:1850-1872 substitutes
+# tz_offset_string for an empty MAP_TZZ_TO_TZz value)
+TZ_OFFSET_MIN_UNAMBIG = {
+    n: (1 if s[0] == "+" else -1) * (int(s[1:3]) * 60 + int(s[4:6]))
+    for n, s in _TZ_HHMM.items()
+}
 TZ_OFFSET_MIN = {
-    **{
-        n: (1 if s[0] == "+" else -1)
-        * (int(s[1:3]) * 60 + int(s[4:6]))
-        for n, s in _TZ_HHMM.items()
-    },
+    **TZ_OFFSET_MIN_UNAMBIG,
     **{n: 0 for n in AMBIGUOUS_TZ},
 }
 

@@ -24,6 +24,7 @@ def parse_repair(
     narrow: bool = False,
     freeze: bool = False,
     scatter: bool = True,
+    tz_offset_min: int = 0,
 ) -> DataFrame:
     """narrow=True drops the text payload right after the parse UDF
     (keeping text_len for the summary stats) so the window/shuffle
@@ -44,7 +45,11 @@ def parse_repair(
     becomes the right choice; the plumbing is here for that layout."""
     winners = learn_winners(df, anchor_year=anchor_year) if freeze else None
     p = parse_stage(
-        df, anchor_year=anchor_year, winners=winners, scatter=scatter
+        df,
+        anchor_year=anchor_year,
+        winners=winners,
+        scatter=scatter,
+        tz_offset_min=tz_offset_min,
     )
     if narrow:
         p = p.withColumn("text_len", F.length("text").cast("int")).drop(
@@ -59,6 +64,7 @@ def assembled(
     narrow: bool = False,
     freeze: bool = False,
     scatter: bool = True,
+    tz_offset_min: int = 0,
 ) -> DataFrame:
     """scatter=False is the conv-bucketed-layout fast path: when the
     input is bucketed (and sorted) by conv_id — the Iceberg
@@ -67,7 +73,10 @@ def assembled(
     whole stage runs with ZERO Exchange (asserted in
     tests/test_round3_ops.py::test_bucketed_layout_assembles_without_shuffle)."""
     return assemble_stage(
-        parse_repair(df, anchor_year, narrow, freeze, scatter=scatter)
+        parse_repair(
+            df, anchor_year, narrow, freeze, scatter=scatter,
+            tz_offset_min=tz_offset_min,
+        )
     )
 
 
@@ -80,6 +89,7 @@ def full_merge(
     persist_before_sort: bool = True,
     staging: list | None = None,
     freeze: bool = False,
+    tz_offset_min: int = 0,
 ) -> DataFrame:
     """persist_before_sort: a global sort range-partitions by sampling
     its child, which would re-run the parse UDF and window stages a
@@ -90,7 +100,7 @@ def full_merge(
     files) vs no-persist 11-17s.  At 10^12 rows the same role is
     played by the routed Iceberg sink staging table
     (route.write_routed) — sort from columnar storage, parse once."""
-    out = assembled(df, freeze=freeze)
+    out = assembled(df, freeze=freeze, tz_offset_min=tz_offset_min)
     if enrich:
         out = enrich_stage(out)
     else:
