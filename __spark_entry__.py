@@ -315,6 +315,75 @@ def q_fixedstruct_records(spark, sf_dir):
     )
 
 
+def q_evtx_records(spark, sf_dir):
+    """Real .evtx binary decode under the driver oracle: a
+    deterministic event-log corpus derives from the events table
+    (record_id = event_id+1, written-time = event ts with every 7th
+    record pushed 1 h backwards to exercise the out-of-order path,
+    payload = an XML string), encoded into REAL EVTX bytes — 4 KiB
+    file header, 64 KiB ElfChnk chunks, 24-byte record headers with
+    FILETIME stamps and CRC32 checksums (operators/evtx.encode_evtx)
+    — written as two .evtx files, decoded back through read_evtx
+    (binaryFile → chunk walk in mapInPandas; evtxreader.rs:101-238),
+    then re-sorted with the EvtxReader BTreeMap ordering and the
+    :458-462 out_of_order counter as window functions.  The oracle
+    derives identical records straight from events — the binary
+    round-trip, FILETIME conversion, re-sort and ooo flags are the
+    units under test."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+        read_evtx,
+        resort_with_ooo,
+    )
+
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            (F.col("event_id") % 2).cast("int").alias("fb"),
+            F.col("event_id").alias("e"),
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+        )
+        .orderBy("fb", "e")
+        .collect()
+    )
+    files = {0: [], 1: []}
+    for r in rows:
+        tus = r["eus"] - (3_600_000_000 if r["e"] % 7 == 0 else 0)
+        files[r["fb"]].append(
+            {
+                "record_id": r["e"] + 1,
+                "ts_us": tus,
+                "payload": (
+                    f"<Event><EventID>{r['e']}</EventID>"
+                    f"<Provider>prov{r['u'] % 10}</Provider></Event>"
+                ),
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4evtx_")
+    paths = []
+    for fb, rr in files.items():
+        p = os.path.join(d, f"f{fb}.evtx")
+        with open(p, "wb") as f:
+            f.write(encode_evtx(rr))
+        paths.append(p)
+    out = resort_with_ooo(read_evtx(spark, paths))
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.evtx", 1).alias("source_label"),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("record_id").cast("long").alias("record_id"),
+        "ts",
+        "payload",
+        F.col("payload_len").cast("int").alias("payload_len"),
+        F.col("ooo").cast("int").alias("ooo"),
+        F.col("sorted_idx").cast("int").alias("sorted_idx"),
+    )
+
+
 # -------------------------------------------- training-data pipeline ops
 
 def q_dedup_exact(spark, sf_dir):
@@ -629,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_ordered": q_merge_ordered,
         "logfile_merge": q_logfile_merge,
         "fixedstruct_records": q_fixedstruct_records,
+        "evtx_records": q_evtx_records,
         "union_merge": q_union_merge,
         "pattern_counts": q_pattern_counts,
         "sink_counts": q_sink_counts,
@@ -710,6 +780,31 @@ SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
        'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
        make_timestamp(eus) AS ts
 FROM b""",
+        "evtx_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events),
+r AS (
+  SELECT CAST(e % 2 AS INT) AS fb, e, u,
+         eus - CASE WHEN e % 7 = 0 THEN 3600000000 ELSE 0 END AS tus,
+         CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+              AS INT) AS rec_idx,
+         '<Event><EventID>' || CAST(e AS VARCHAR)
+           || '</EventID><Provider>prov' || CAST(u % 10 AS VARCHAR)
+           || '</Provider></Event>' AS payload
+  FROM b)
+SELECT 'f' || CAST(fb AS VARCHAR) AS source_label,
+       rec_idx,
+       CAST(e + 1 AS BIGINT) AS record_id,
+       make_timestamp(tus) AS ts,
+       payload,
+       CAST(length(payload) AS INT) AS payload_len,
+       CAST(CASE WHEN lag(tus) OVER (PARTITION BY fb ORDER BY rec_idx)
+                      > tus
+                 THEN 1 ELSE 0 END AS INT) AS ooo,
+       CAST(row_number() OVER (PARTITION BY fb ORDER BY tus, rec_idx)
+            - 1 AS INT) AS sorted_idx
+FROM r""",
         "pattern_counts": f"""{b}
 SELECT _pattern_id AS pattern_id, CAST(count(*) AS BIGINT) AS rows
 FROM exp WHERE _pattern_id IS NOT NULL GROUP BY 1""",
