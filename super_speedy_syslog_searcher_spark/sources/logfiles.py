@@ -195,12 +195,11 @@ def read_log_files_decoded(
         "tool string, ts timestamp"
     )
 
+    import numpy as np
+
     def decode(batches):
         for pdf in batches:
-            out = {
-                "conv_id": [], "turn_idx": [], "role": [],
-                "text": [], "tool": [], "ts": [],
-            }
+            frames = []
 
             def emit(source, mtime, data):
                 enc = charset or sniff_encoding(data[:64])
@@ -211,13 +210,26 @@ def read_log_files_decoded(
                         data = data[len(bom):]
                         break
                 lines = data.decode(enc, errors="replace").splitlines()
-                for i, line in enumerate(lines):
-                    out["conv_id"].append(source)
-                    out["turn_idx"].append(i)
-                    out["role"].append("log")
-                    out["text"].append(line)
-                    out["tool"].append("none")
-                    out["ts"].append(mtime)
+                if not lines:
+                    return
+                # bulk per-file frame: one list→Series for the lines,
+                # np.arange turn numbering, scalar broadcast for the
+                # per-file constants — Python touches each FILE, not
+                # each line (round-3 verdict item 5)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": source,
+                            "turn_idx": np.arange(
+                                len(lines), dtype="int32"
+                            ),
+                            "role": "log",
+                            "text": pd.Series(lines, dtype="object"),
+                            "tool": "none",
+                            "ts": mtime,
+                        }
+                    )
+                )
 
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
@@ -247,7 +259,19 @@ def read_log_files_decoded(
                             )
                     continue
                 emit(path, mtime, _decompress(path, bytes(content)))
-            yield pd.DataFrame(out)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pd.Series(dtype="object"),
+                        "turn_idx": pd.Series(dtype="int32"),
+                        "role": pd.Series(dtype="object"),
+                        "text": pd.Series(dtype="object"),
+                        "tool": pd.Series(dtype="object"),
+                        "ts": pd.Series(dtype="datetime64[ns]"),
+                    }
+                )
 
     return (
         bf.select("path", "modificationTime", "content")

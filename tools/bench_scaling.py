@@ -180,6 +180,18 @@ single extract per batch.  Output is identical either way
 (tests/test_patterns.py::test_winner_first_equals_bank_order + the
 differential oracle).
 
+## Round-4 performance deltas
+
+* read_log_files_decoded emit loop vectorized (per-file bulk frame:
+  splitlines -> one pd.DataFrame with np.arange turn numbering and
+  scalar broadcasts, instead of 5 list-appends per line): frame
+  construction 1.78s -> 0.09s on a 500k-line file (20.7x); Python now
+  touches each FILE, not each line.  multimodal._extract's
+  length/header pass likewise moved to bytes-Series .str ops.
+* New scan-tier families 73-75 (weekday-at-0 CI-tz, compact
+  YYYYmdd_HMMSS, mm/dd/HH:MM:SS.fff) run only on anchored-tier
+  rejects — zero measured effect on the corpus hot path.
+
 ## Round-2 performance deltas
 
 * Arrow batch size 20k -> 128k rows: parse_merge 22.3s -> 9.9s at 5M
