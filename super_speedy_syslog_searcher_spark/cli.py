@@ -320,28 +320,184 @@ def resolve_filters(
     )
 
 
-def _maybe_summary(args, t, n: int) -> None:
-    """Shared --summary tail (every output format honors it)."""
+def _drain(lines, limit: int) -> dict:
+    """Stream (line, ts_eff) rows to stdout, tracking the
+    SummaryPrinted counters (printer/summary.rs:163-189: bytes,
+    lines, syslines, dt_first, dt_last) as the rows pass through."""
+    if limit:
+        lines = lines.limit(limit)
+    st = {
+        "n": 0, "bytes": 0, "syslines": 0,
+        "dt_first": None, "dt_last": None,
+    }
+    w = sys.stdout.write
+    for row in lines.toLocalIterator():
+        line = row["line"]
+        w(line + "\n")
+        st["n"] += 1
+        st["bytes"] += len(line) + 1
+        ts = row["ts_eff"]
+        if ts is not None:
+            st["syslines"] += 1
+            if st["dt_first"] is None or ts < st["dt_first"]:
+                st["dt_first"] = ts
+            if st["dt_last"] is None or ts > st["dt_last"]:
+                st["dt_last"] = ts
+    return st
+
+
+_SUMMARY_FILE_CAP = 20  # human-facing cap on per-source blocks
+
+
+def _maybe_summary(args, t, printed: dict, after=None, before=None,
+                   t0: float = 0.0) -> None:
+    """--summary parity (printer/summary.rs:864-990 print_summary,
+    :1279-1515 per-file Processed/Parsers blocks, :163-189
+    SummaryPrinted): per-source About/Processed/Parsers sections for
+    the first _SUMMARY_FILE_CAP sources, then the global 'Program
+    summary:' block.  Everything aggregates distributed; only the
+    capped per-source rows and one global row reach the driver (at
+    10^8 convs the full per-source table belongs in a table sink)."""
     if not args.summary:
         return
-    from . import pipeline as P
-    from .operators import stats
+    import time as _time
 
-    # bounded driver traffic: a CLI summary is human-facing, so cap
-    # the per-conv rows collected (at 10^8 convs the full summary
-    # belongs in a table sink, not stdout)
-    summ = (
-        stats.conv_summary(P.parse_repair(t, narrow=True))
-        .limit(10_000)
-        .collect()
+    from pyspark.sql import functions as F
+
+    from . import pipeline as P
+    from .patterns import PATTERNS
+    from .operators.repair import NOYEAR_PATTERN_IDS
+
+    err = sys.stderr
+
+    parsed = P.parse_repair(t, narrow=True)
+    parsed.persist()
+    try:
+        per_conv = (
+            parsed.groupBy("conv_id")
+            .agg(
+                F.sum("text_len").alias("bytes"),
+                F.count("*").alias("lines"),
+                F.count("ts_parsed").alias("syslines"),
+                F.min("ts_parsed").alias("dt_first"),
+                F.max("ts_parsed").alias("dt_last"),
+                F.max("ts").alias("mtime"),
+                F.year(
+                    F.max(
+                        F.when(
+                            F.col("pattern_id").isin(
+                                *NOYEAR_PATTERN_IDS
+                            ),
+                            F.col("ts_parsed"),
+                        )
+                    )
+                ).alias("noyear_est"),
+            )
+            .orderBy("conv_id")
+            .limit(_SUMMARY_FILE_CAP)
+            .collect()
+        )
+        ids = [r["conv_id"] for r in per_conv]
+        pat_rows = (
+            parsed.filter(
+                F.col("conv_id").isin(ids)
+                & F.col("pattern_id").isNotNull()
+            )
+            .groupBy("conv_id", "pattern_id")
+            .agg(F.count("*").alias("uses"))
+            .collect()
+        )
+        pats = {}
+        for r in pat_rows:
+            pats.setdefault(r["conv_id"], []).append(
+                (int(r["pattern_id"]), int(r["uses"]))
+            )
+        g = parsed.agg(
+            F.countDistinct("conv_id").alias("convs"),
+            F.count("*").alias("lines"),
+            F.count("ts_parsed").alias("syslines"),
+            F.sum("text_len").alias("bytes"),
+        ).collect()[0]
+    finally:
+        parsed.unpersist()
+
+    by_pid = {p.pid: p for p in PATTERNS}
+    ind1, ind2, ind3 = " " * 4, " " * 8, " " * 12
+    for r in per_conv:
+        err.write(f"File: {r['conv_id']}\n")
+        err.write(f"{ind1}About:\n")
+        err.write(f"{ind2}FileType      : transcripts table source\n")
+        if r["mtime"] is not None:
+            err.write(f"{ind2}Modified time : {r['mtime']} (UTC)\n")
+        err.write(f"{ind1}Processed:\n")
+        err.write(f"{ind2}bytes         : {r['bytes'] or 0}\n")
+        err.write(f"{ind2}lines         : {r['lines']}\n")
+        err.write(f"{ind2}Syslines      : {r['syslines']}\n")
+        err.write(f"{ind2}datetime first: {r['dt_first']}\n")
+        err.write(f"{ind2}datetime last : {r['dt_last']}\n")
+        plist = sorted(pats.get(r["conv_id"], []))
+        if plist:
+            err.write(f"{ind1}Parsers:\n")
+        for pid, uses in plist:
+            p = by_pid.get(pid)
+            err.write(
+                f"{ind2}@[{pid}] regex {p.name if p else '?'} "
+                f"(uses {uses})\n"
+            )
+            if p is not None and p.noyear and r["noyear_est"]:
+                err.write(
+                    f"{ind3}datetime format missing year; estimated "
+                    f"year of last sysline {r['noyear_est']}\n"
+                )
+    if int(g["convs"]) > len(per_conv):
+        err.write(
+            f"... ({int(g['convs']) - len(per_conv)} more sources; "
+            f"per-source cap {_SUMMARY_FILE_CAP})\n"
+        )
+
+    err.write("Program summary:\n\n")
+    err.write(f"Paths considered       : {g['convs']}\n")
+    err.write("Paths not processed    : 0\n")
+    err.write(f"Files processed        : {g['convs']}\n")
+    err.write(
+        f"Files printed          : {g['convs'] if printed['n'] else 0}\n"
     )
-    print(f"printed {n} lines from {len(summ)} conversations", file=sys.stderr)
-    for r in sorted(summ, key=lambda r: r["conv_id"])[:20]:
-        print(
-            f"  {r['conv_id']}: turns={r['turns']} syslines={r['syslines']} "
-            f"dt_first={r['dt_first']} dt_last={r['dt_last']} "
-            f"out_of_order={r['out_of_order']}",
-            file=sys.stderr,
+    err.write(f"Printed bytes          : {printed['bytes']}\n")
+    err.write(f"Printed Lines          : {printed['n']}\n")
+    err.write(f"Printed Syslines       : {printed['syslines']}\n")
+    err.write(f"Processed bytes        : {g['bytes'] or 0}\n")
+    err.write(f"Processed Lines        : {g['lines']}\n")
+    err.write(f"Processed Syslines     : {g['syslines']}\n")
+    err.write("Regex patterns known   : 188\n")
+    err.write(f"Regex patterns compiled: {len(PATTERNS)}\n")
+    err.write(
+        "Datetime filter -a     :"
+        + (f" {after} (UTC)\n" if after else "\n")
+    )
+    err.write(
+        "Datetime printed first :"
+        + (
+            f" {printed['dt_first']} (UTC)\n"
+            if printed["dt_first"]
+            else "\n"
+        )
+    )
+    err.write(
+        "Datetime filter -b     :"
+        + (f" {before} (UTC)\n" if before else "\n")
+    )
+    err.write(
+        "Datetime printed last  :"
+        + (
+            f" {printed['dt_last']} (UTC)\n"
+            if printed["dt_last"]
+            else "\n"
+        )
+    )
+    if t0:
+        err.write(
+            f"realtime elapsed       : "
+            f"{_time.perf_counter() - t0:.3f} s\n"
         )
 
 
@@ -520,11 +676,15 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as ex:
         ap.error(str(ex))  # friendly one-liner + exit 2, s4-style
 
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from . import pipeline as P
     from .datagen import transcripts_df
     from .session import get_spark
+
+    t0 = _time.perf_counter()
 
     spark = get_spark(
         app_name="s4spark-cli",
@@ -554,28 +714,21 @@ def main(argv: list[str] | None = None) -> int:
                     "tool",
                     "text",
                 )
-            ).alias("line")
+            ).alias("line"),
+            "ts_eff",
         )
-        if args.limit:
-            lines = lines.limit(args.limit)
-        n = 0
-        for row in lines.toLocalIterator():
-            sys.stdout.write(row["line"] + "\n")
-            n += 1
-        _maybe_summary(args, t, n)  # --summary works with jsonl too
+        st = _drain(lines, args.limit)
+        # --summary works with jsonl too
+        _maybe_summary(args, t, st, after, before, t0)
         spark.stop()
         return 0
     if args.out_format in _JOURNAL_FORMATS:
         lines = merged.select(
-            _JOURNAL_FORMATS[args.out_format](merged).alias("line")
+            _JOURNAL_FORMATS[args.out_format](merged).alias("line"),
+            "ts_eff",
         )
-        if args.limit:
-            lines = lines.limit(args.limit)
-        n = 0
-        for row in lines.toLocalIterator():
-            sys.stdout.write(row["line"] + "\n")
-            n += 1
-        _maybe_summary(args, t, n)
+        st = _drain(lines, args.limit)
+        _maybe_summary(args, t, st, after, before, t0)
         spark.stop()
         return 0
     out = F.col("text")
@@ -632,14 +785,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     if stamp is not None:
         out = F.concat(stamp, F.lit(psep), out)
-    lines = merged.select(out.alias("line"))
-    if args.limit:
-        lines = lines.limit(args.limit)
-    n = 0
-    for row in lines.toLocalIterator():
-        sys.stdout.write(row["line"] + "\n")
-        n += 1
-    _maybe_summary(args, t, n)
+    lines = merged.select(out.alias("line"), "ts_eff")
+    st = _drain(lines, args.limit)
+    _maybe_summary(args, t, st, after, before, t0)
     spark.stop()
     return 0
 

@@ -256,3 +256,72 @@ def test_strftime_to_java_rejects_unknown():
     assert strftime_to_java("%Y%m%dT%H%M%S%z") == "yyyyMMdd'T'HHmmssZ"
     with _pytest.raises(ValueError):
         strftime_to_java("%Q")
+
+
+def test_cli_full_summary_layout():
+    """--summary golden-stderr layout parity (printer/summary.rs:
+    864-990 'Program summary:' block + :1279-1515 per-file
+    About/Processed/Parsers sections + :163-189 SummaryPrinted
+    counters)."""
+    import re as _re
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            "/root/testdata/sf0.001",
+            "-a",
+            "2024-01-10",
+            "-b",
+            "2024-01-20",
+            "--limit",
+            "10",
+            "--summary",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert len(out.stdout.strip().splitlines()) == 10
+    err = out.stderr
+    # per-file blocks, s4 layout
+    assert _re.search(r"^File: conv-\d+$", err, _re.M)
+    for field in (
+        "    About:",
+        "        FileType      : ",
+        "    Processed:",
+        "        bytes         : ",
+        "        lines         : ",
+        "        Syslines      : ",
+        "        datetime first: ",
+        "        datetime last : ",
+        "    Parsers:",
+    ):
+        assert field in err, field
+    assert _re.search(r"^        @\[\d+\] regex \S+ \(uses \d+\)$", err, _re.M)
+    # global block
+    assert "Program summary:" in err
+    for field, pat in (
+        ("Paths considered       : ", r"\d+"),
+        ("Files processed        : ", r"\d+"),
+        ("Printed bytes          : ", r"[1-9]\d*"),
+        ("Printed Lines          : ", r"10"),
+        ("Printed Syslines       : ", r"10"),
+        ("Processed Lines        : ", r"\d+"),
+        ("Regex patterns known   : ", r"188"),
+        ("Regex patterns compiled: ", r"\d\d"),
+        ("Datetime filter -a     : ", r"2024-01-10"),
+        ("Datetime printed first : ", r"2024-01-1\d"),
+        ("Datetime filter -b     : ", r"2024-01-20"),
+        ("Datetime printed last  : ", r"2024-01-1\d"),
+        ("realtime elapsed       : ", r"\d+\.\d+ s"),
+    ):
+        m = _re.search(_re.escape(field) + pat, err)
+        assert m, f"missing summary field: {field!r}"
+    # printed dt range is within the -a/-b window and ordered
+    first = _re.search(r"Datetime printed first : (\S+ \S+) ", err).group(1)
+    last = _re.search(r"Datetime printed last  : (\S+ \S+) ", err).group(1)
+    assert "2024-01-10" <= first <= last <= "2024-01-20"
