@@ -487,13 +487,13 @@ def q_streaming_hourly(spark, sf_dir):
 
 def q_streaming_assembly(spark, sf_dir):
     """Stateful streaming sysline assembly under the driver oracle:
-    readStream → parse → applyInPandasWithState continuation attach
-    (streaming/stateful.py), drained with Trigger.AvailableNow to
-    parquet, then compared row-for-row against the oracle's
-    last-anchor-wins window.  The streaming path runs NO repair
-    stage, so dmesg-uptime rows (null raw ts) attach like
-    continuations and the oracle models exactly that raw-parse
-    semantic (dmesg excluded from the anchor columns)."""
+    readStream → parse → applyInPandasWithState continuation attach +
+    uptime-anchor carry (streaming/stateful.py), drained with
+    Trigger.AvailableNow to parquet, then compared row-for-row
+    against the SAME assembly window the batch oracle uses: with the
+    boot anchor carried in state (round-4), dmesg-uptime rows resolve
+    to absolute time in the streaming path too, so streaming output
+    now equals batch parse+repair(uptime)+assemble exactly."""
     import tempfile
 
     from super_speedy_syslog_searcher_spark.streaming.stateful import (
@@ -819,24 +819,12 @@ SELECT date_trunc('hour', _ts_parsed) AS hour, _sink AS sink,
 FROM exp
 WHERE _ts_parsed IS NOT NULL AND _sink <> 'dmesg_uptime'
 GROUP BY 1, 2""",
-        "streaming_assembly": f"""{b},
-raw AS (
-  SELECT conv_id, turn_idx,
-         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
-              THEN _ts_parsed END AS tsp,
-         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
-              THEN turn_idx END AS tpi,
-         CASE WHEN _pattern_id IS NOT NULL AND _sink <> 'dmesg_uptime'
-              THEN _sink END AS sk
-  FROM exp
-)
+        "streaming_assembly": f"""{b}
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
-       CAST(last_value(tpi IGNORE NULLS) OVER w AS INT) AS msg_turn_idx,
-       last_value(tsp IGNORE NULLS) OVER w AS ts_eff,
-       coalesce(last_value(sk IGNORE NULLS) OVER w, 'continuation') AS sink_eff
-FROM raw
-WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+       CAST(msg_turn_idx AS INT) AS msg_turn_idx,
+       ts_eff,
+       sink_eff
+FROM asm""",
         "conv_summary": f"""{b},
 oo AS (
   SELECT conv_id, turn_idx, _ts_parsed,

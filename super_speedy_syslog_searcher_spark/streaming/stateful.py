@@ -13,11 +13,16 @@ Arrival-order contract: within a conversation, turns must arrive in
 turn_idx order across micro-batches (true for append-only transcript
 logs; the file-stream test feeds batches split on turn ranges).
 
-Scope: equals batch parse+assemble exactly (tests).  The *repair*
-stage (uptime anchoring) is batch-only — it needs a conv-global
-max(ts) that streaming cannot know until the conversation ends; a
-streaming approximation would carry the anchor in this same state
-once first computed.
+Scope: equals batch parse+assemble exactly, INCLUDING uptime repair
+(tests + the streaming_assembly oracle): the conversation's boot
+anchor (wall-clock at uptime zero) is computed from the FIRST
+uptime-bearing row — boot_us = row.ts_us − row.uptime_us, the
+streaming form of repair.anchor_uptime's conv-global
+max(ts) − max(uptime), identical whenever a file's uptime values are
+consistent with its timestamps — and carried in the same per-conv
+state, so later dmesg rows (any micro-batch) resolve to absolute
+time the moment they arrive.  Year-rollover repair remains
+batch-only (it needs the conversation's full ordered span).
 """
 
 from __future__ import annotations
@@ -35,7 +40,10 @@ OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, text string, ts_parsed timestamp, "
     "sink string, msg_turn_idx int, ts_eff timestamp, sink_eff string"
 )
-STATE_SCHEMA = "anchor_turn int, anchor_ts_us long, anchor_sink string"
+STATE_SCHEMA = (
+    "anchor_turn int, anchor_ts_us long, anchor_sink string, "
+    "boot_us long"
+)
 
 
 def _attach(
@@ -53,11 +61,32 @@ def _attach(
         state.remove()
         return
     if state.exists:
-        anchor_turn, anchor_ts_us, anchor_sink = state.get
+        anchor_turn, anchor_ts_us, anchor_sink, boot_us = state.get
     else:
-        anchor_turn, anchor_ts_us, anchor_sink = None, None, None
+        anchor_turn, anchor_ts_us, anchor_sink, boot_us = (
+            None, None, None, None,
+        )
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
+        # uptime anchoring (streaming repair): establish the conv's
+        # boot instant from the first row carrying both a trusted ts
+        # and an uptime, then resolve every uptime row — this and all
+        # later micro-batches — to absolute time (syslogprocessor.rs:
+        # 740-810 semantics, carried in state)
+        up = pdf["uptime_us"].notna()
+        if boot_us is None and up.any():
+            cand = pdf.loc[up & pdf["ts"].notna()]
+            if len(cand):
+                first = cand.iloc[0]
+                boot_us = (
+                    first["ts"].value // 1000 - int(first["uptime_us"])
+                )
+        if boot_us is not None and up.any():
+            pdf = pdf.copy()
+            pdf.loc[up, "ts_parsed"] = pd.to_datetime(
+                (pdf.loc[up, "uptime_us"].astype("int64") + boot_us)
+                * 1000
+            )
         # vectorized within-batch forward-fill of the anchor columns
         # (Python touches only the batch boundary, not every row —
         # round-2 verdict item on the per-row zip loop)
@@ -79,9 +108,9 @@ def _attach(
             anchor_ts_us = last["ts_parsed"].value // 1000
             anchor_sink = last["sink"]
         yield out
-    if anchor_turn is not None:
-        state.update((anchor_turn, anchor_ts_us, anchor_sink))
-        if ttl_ms is not None:
+    if anchor_turn is not None or boot_us is not None:
+        state.update((anchor_turn, anchor_ts_us, anchor_sink, boot_us))
+        if ttl_ms is not None and anchor_ts_us is not None:
             # evict when EVENT time moves ttl_ms past the anchor —
             # deterministic (no wall clock), watermark-driven, and
             # checkpoint-stable across restarts.  The deadline must
@@ -117,7 +146,8 @@ def assembled_stream(
     nulls).
     """
     parsed = parsed_stream(stream).select(
-        "conv_id", "turn_idx", "text", "ts_parsed", "sink"
+        "conv_id", "turn_idx", "text", "ts_parsed", "sink",
+        "ts", "uptime_us",
     )
     if state_ttl_ms is None:
         fn, timeout = _attach, GroupStateTimeout.NoTimeout

@@ -70,9 +70,14 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
 
 def test_stateful_assembly_equals_batch(spark, tmp_path):
     """applyInPandasWithState continuation-attach across micro-batches
-    == batch parse+assemble; state survives the batch boundary."""
+    == batch parse + uptime repair + assemble (the streaming path now
+    carries the boot anchor in state, round-4); state survives the
+    batch boundary."""
     from super_speedy_syslog_searcher_spark.operators.assemble import (
         assemble_stage,
+    )
+    from super_speedy_syslog_searcher_spark.operators.repair import (
+        anchor_uptime,
     )
     from super_speedy_syslog_searcher_spark.streaming import stateful
 
@@ -89,7 +94,9 @@ def test_stateful_assembly_equals_batch(spark, tmp_path):
     stateful.run_assembled_available_now(spark, in_dir, out_dir, ckpt)
 
     got = spark.read.parquet(out_dir).select(*cols)
-    want = assemble_stage(parse_stage(t, scatter=False)).select(*cols)
+    want = assemble_stage(
+        anchor_uptime(parse_stage(t, scatter=False))
+    ).select(*cols)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
@@ -206,3 +213,63 @@ def test_stateful_ttl_late_datetime_row_dropped(spark, tmp_path):
     }
     assert ("conv-B", 0) not in rows  # late dt row dropped entirely
     assert rows[("conv-B", 1)] == "continuation"
+
+
+def test_stateful_uptime_anchor_carried_across_batches(spark, tmp_path):
+    """Streaming uptime repair (round-4): the conv's boot anchor is
+    computed from the first uptime row and CARRIED in state, so a
+    dmesg row arriving in a later micro-batch — even with a NULL
+    trusted-ts column — resolves to the same absolute time the batch
+    repair derives (repair.anchor_uptime semantics)."""
+    import datetime as dtm
+
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "in_up")
+    out_dir = str(tmp_path / "out_up")
+    ckpt = str(tmp_path / "ck_up")
+    schema = sp.TRANSCRIPT_SCHEMA
+    mt = dtm.datetime(2024, 1, 5, 3, 0, 0)  # mtime stand-in
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        stateful.run_assembled_available_now(spark, in_dir, out_dir, ckpt)
+
+    # batch 1: boot becomes computable — uptime 100s at ts 03:00:00
+    # → boot = 02:58:20
+    write_batch(
+        [
+            ("conv-U", 0, "log", "[  100.000000] kernel up", "none", mt),
+            ("conv-U", 1, "log", "    continuation alpha", "none", mt),
+        ]
+    )
+    run()
+    # batch 2: a dmesg row with NULL ts — only the carried state can
+    # anchor it — plus a trailing continuation inheriting it
+    write_batch(
+        [
+            ("conv-U", 2, "log", "[  250.500000] disk online", "none", None),
+            ("conv-U", 3, "log", "    continuation beta", "none", None),
+        ]
+    )
+    run()
+
+    got = {
+        r["turn_idx"]: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    boot = mt - dtm.timedelta(seconds=100)
+    assert got[0]["ts_parsed"] == boot + dtm.timedelta(seconds=100)
+    assert got[0]["sink_eff"] == "dmesg_uptime"
+    assert got[1]["ts_eff"] == got[0]["ts_parsed"]  # continuation
+    # the batch-2 dmesg row anchored purely from carried state
+    assert got[2]["ts_parsed"] == boot + dtm.timedelta(
+        seconds=250, microseconds=500000
+    )
+    assert got[2]["sink_eff"] == "dmesg_uptime"
+    assert got[3]["ts_eff"] == got[2]["ts_parsed"]
+    assert got[3]["msg_turn_idx"] == 2
