@@ -386,6 +386,77 @@ def q_evtx_records(spark, sf_dir):
 
 # -------------------------------------------- training-data pipeline ops
 
+def q_journal_records(spark, sf_dir):
+    """Real systemd .journal binary decode under the driver oracle: a
+    deterministic journal corpus derives from the events table
+    (seqnum = event_id+1, realtime = event ts, MESSAGE/_HOSTNAME/
+    SYSLOG_IDENTIFIER/_PID fields from event columns), encoded into
+    REAL journal bytes — LPKSHHRH header, 8-byte-aligned DATA/ENTRY
+    objects with item lists (operators/journal.encode_journal,
+    public systemd.io Journal File Format; the reference instead
+    dlopens libsystemd, journalreader.rs:550) — written as two
+    .journal files and decoded back through read_journal (binaryFile
+    → sequential object walk in mapInPandas).  DATA objects are
+    deduplicated by payload exactly like journald does, so the
+    decode also proves item-offset resolution across shared DATA."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        encode_journal,
+        read_journal,
+    )
+
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.select(
+            (F.col("event_id") % 2).cast("int").alias("fb"),
+            F.col("event_id").alias("e"),
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+        )
+        .orderBy("fb", "e")
+        .collect()
+    )
+    files = {0: [], 1: []}
+    for r in rows:
+        files[r["fb"]].append(
+            {
+                "seqnum": r["e"] + 1,
+                "ts_us": r["eus"],
+                "monotonic_us": r["eus"] % 86_400_000_000,
+                "fields": {
+                    "MESSAGE": f"svc event {r['e']}",
+                    "_HOSTNAME": f"host{r['u'] % 5}",
+                    "SYSLOG_IDENTIFIER": f"daemon{r['e'] % 3}",
+                    "_PID": str(100 + r["u"] % 50),
+                },
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4jrnl_")
+    paths = []
+    for fb, rr in files.items():
+        p = os.path.join(d, f"f{fb}.journal")
+        with open(p, "wb") as f:
+            f.write(encode_journal(rr))
+        paths.append(p)
+    out = read_journal(spark, paths)
+    return out.select(
+        F.regexp_extract(
+            "source", r"(f\d)\.journal", 1
+        ).alias("source_label"),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("seqnum").cast("long").alias("seqnum"),
+        "ts",
+        F.col("monotonic_us").cast("long").alias("monotonic_us"),
+        "message",
+        "hostname",
+        "identifier",
+        F.col("pid").cast("int").alias("pid"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -699,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logfile_merge": q_logfile_merge,
         "fixedstruct_records": q_fixedstruct_records,
         "evtx_records": q_evtx_records,
+        "journal_records": q_journal_records,
         "union_merge": q_union_merge,
         "pattern_counts": q_pattern_counts,
         "sink_counts": q_sink_counts,
@@ -805,6 +877,21 @@ SELECT 'f' || CAST(fb AS VARCHAR) AS source_label,
        CAST(row_number() OVER (PARTITION BY fb ORDER BY tus, rec_idx)
             - 1 AS INT) AS sorted_idx
 FROM r""",
+        "journal_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+            AS INT) AS rec_idx,
+       CAST(e + 1 AS BIGINT) AS seqnum,
+       make_timestamp(eus) AS ts,
+       CAST(eus % 86400000000 AS BIGINT) AS monotonic_us,
+       'svc event ' || CAST(e AS VARCHAR) AS message,
+       'host' || CAST(u % 5 AS VARCHAR) AS hostname,
+       'daemon' || CAST(e % 3 AS VARCHAR) AS identifier,
+       CAST(100 + u % 50 AS INT) AS pid
+FROM b""",
         "pattern_counts": f"""{b}
 SELECT _pattern_id AS pattern_id, CAST(count(*) AS BIGINT) AS rows
 FROM exp WHERE _pattern_id IS NOT NULL GROUP BY 1""",
