@@ -182,6 +182,10 @@ differential oracle).
 
 ## Round-4 performance deltas
 
+* conv_summary r3 tick (6.65 -> 7.48 s) resolved as ambient drift:
+  clean interleaved A/B on an idle box measures conv_summary 6.73 s
+  while hourly_hist drifted the OTHER way (6.74 -> 7.88 s) in the
+  same process — the two flipped with no plan change in either.
 * read_log_files_decoded emit loop vectorized (per-file bulk frame:
   splitlines -> one pd.DataFrame with np.arange turn numbering and
   scalar broadcasts, instead of 5 list-appends per line): frame
