@@ -613,6 +613,75 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing under the driver oracle.  The synthetic documents
+    carry no planted PII, so both engines derive the same augmented
+    text (appended email / IPv4 / 16-digit number keyed on doc_id) and
+    redact it independently — Spark with Java-regex regexp_replace,
+    the oracle with DuckDB's RE2 ('g' flag); the shared patterns avoid
+    every dialect-divergent construct."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("int"),
+            F.lit(".17 ref 4111111111111111"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(aug).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_emails",
+        "n_ips",
+        "n_longnums",
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (GPT-pretraining shape)
+    — token cumsum, bounded explode onto overlapped packs, pack_id
+    shuffle; DuckDB oracle reproduces with the same window math."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.pack_sequences(docs)
+    return out.select(
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("first_doc").cast("bigint").alias("first_doc"),
+        F.col("last_doc").cast("bigint").alias("last_doc"),
+    )
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the augmented embeddings
+    (planted 1.5x-scaled copies, same derivation as dedup_embedding):
+    nearest-cell assignment, lowest-vec_id representative per cell,
+    drop members above the cosine-to-representative threshold."""
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    out = similarity.semantic_dedup(aug)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cell",
+        "rep_id",
+        "cos_to_rep",
+        "keep",
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -791,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1145,6 +1217,76 @@ s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
        max(cosine) AS cosine
 FROM s WHERE cosine >= 0.98 GROUP BY 1, 2""",
+        "pii_redact": r"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.17 ref 4111111111111111' AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS c2
+  FROM aug)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(c2, '\d{8,}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(c2, '\d{8,}')) AS INT) AS n_longnums
+FROM r""",
+        "pack_sequences": """WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM d),
+e AS (
+  SELECT doc_id, toks, start_tok,
+         unnest(range(start_tok // 2048,
+                      (start_tok + toks - 1) // 2048 + 1)) AS pack_id
+  FROM c)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(SUM(LEAST(start_tok + toks, (pack_id + 1) * 2048)
+                - GREATEST(start_tok, pack_id * 2048)) AS BIGINT)
+         AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM e GROUP BY 1""",
+        "dedup_semantic": """WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+  FROM embeddings WHERE vec_id % 25 = 0),
+n AS (SELECT vec_id, embedding,
+  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM aug),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
+        list_sum(list_transform(list_zip(n.embedding, sd.sv),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore
+       FROM n CROSS JOIN sd),
+rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, seed_id) AS rn FROM sc),
+cells AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM rk WHERE rn = 1),
+reps AS (SELECT cell, MIN(vec_id) AS rep_id FROM cells GROUP BY 1),
+rv AS (SELECT r.cell, r.rep_id, c.embedding AS rvv, c.nrm AS rnrm
+       FROM reps r JOIN cells c ON c.vec_id = r.rep_id),
+j AS (SELECT c.vec_id, c.cell, rv.rep_id,
+        round(list_sum(list_transform(list_zip(c.embedding, rv.rvv),
+              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+              / (c.nrm * rv.rnrm), 4) AS cos_to_rep
+      FROM cells c JOIN rv ON rv.cell = c.cell)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS BIGINT) AS cell,
+       CAST(rep_id AS BIGINT) AS rep_id,
+       cos_to_rep,
+       (vec_id = rep_id OR cos_to_rep < 0.95) AS keep
+FROM j""",
         "text_tokens": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -108,9 +108,15 @@ def run_partitioned(
         result = P.assembled(part)
         out_path = os.path.join(out_dir, f"bucket={k}")
         result.write.mode("overwrite").parquet(out_path)  # idempotent
+        # metrics from the WRITTEN files, not the logical plan: a
+        # second action on `result` would re-run the whole parse for
+        # this bucket (2× compute per partition at 100 TB); the
+        # read-back is a columnar scan of one column and also verifies
+        # the output is readable before the manifest commits
         sink_counts = {
             r["sink_eff"]: r["cnt"]
-            for r in result.groupBy("sink_eff")
+            for r in df.sparkSession.read.parquet(out_path)
+            .groupBy("sink_eff")
             .agg(F.count("*").alias("cnt"))
             .collect()
         }

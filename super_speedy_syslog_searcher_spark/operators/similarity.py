@@ -227,3 +227,58 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = SEMANTIC_DEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to
+    its nearest coarse cell (broadcast centroid scoring, the IVF
+    codebook of seed_scores), pick one deterministic representative
+    per cell (lowest vec_id), and mark every other member whose
+    cosine to the representative clears the threshold as a drop.
+
+    The cell-member → representative join keys on the CELL id — one
+    row per cell on the build side (broadcastable at any corpus size
+    with a bounded codebook), so at 10^12 vectors the comparison
+    volume is n_vectors × 1, never pairwise.  Output: one row per
+    vector with its cell, representative, rounded cosine-to-rep and
+    the keep/drop verdict (representatives always keep).
+    """
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sscore"), F.asc("seed_id")
+    )
+    cells = (
+        seed_scores(emb)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "_norm", F.col("seed_id").alias("cell"))
+    )
+    w_cell = Window.partitionBy("cell").orderBy("vec_id")
+    reps = (
+        cells.withColumn("rr", F.row_number().over(w_cell))
+        .filter(F.col("rr") == 1)
+        .select(
+            "cell",
+            F.col("vec_id").alias("rep_id"),
+            F.col("embedding").alias("rv"),
+            F.col("_norm").alias("rnrm"),
+        )
+    )
+    cos = F.round(
+        F.expr(DOT.format(a="embedding", b="rv"))
+        / (F.col("_norm") * F.col("rnrm")),
+        4,
+    )
+    return cells.join(F.broadcast(reps), "cell").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        cos.alias("cos_to_rep"),
+        (
+            (F.col("vec_id") == F.col("rep_id")) | (cos < threshold)
+        ).alias("keep"),
+    )

@@ -7,7 +7,7 @@ WholeStageCodegen throughout, trivially data-parallel at 10^12 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -89,4 +89,100 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("content_fp"),
         F.md5(bow).alias("bow_fp"),
+    )
+
+
+# PII redaction patterns — shared verbatim with the DuckDB oracle, so
+# every construct must behave identically in Java regex and RE2
+# (no backreferences, no lookaround)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\d{8,}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing — the standard pretraining-corpus redaction gate:
+    emails → <EMAIL>, IPv4 literals → <IP>, 8+-digit runs
+    (phone/account/card shapes) → <NUM>, applied in that order so an
+    IP inside an already-redacted email can't double-fire.  Pure
+    regexp_replace chain: WholeStageCodegen, row-parallel at 10^12
+    docs.  Per-doc match counts are taken BEFORE redaction (audit
+    metric: how much PII the corpus carried)."""
+    # python-API regexp functions take the pattern verbatim — no SQL
+    # string-literal escape pass mangling the \d / \b classes
+    n_email = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0))
+    )
+    n_ip = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4_RE), F.lit(0))
+    )
+    clean1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    clean2 = F.regexp_replace(clean1, PII_IPV4_RE, "<IP>")
+    # count long digit runs on the IP-redacted text (an IPv4 is not
+    # ALSO a long number)
+    n_num = F.size(
+        F.regexp_extract_all(clean2, F.lit(PII_LONGNUM_RE), F.lit(0))
+    )
+    clean3 = F.regexp_replace(clean2, PII_LONGNUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        clean3.alias("clean_text"),
+        n_email.cast("int").alias("n_emails"),
+        n_ip.cast("int").alias("n_ips"),
+        n_num.cast("int").alias("n_longnums"),
+    )
+
+
+PACK_SEQ_LEN = 2048
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-pretraining
+    shape: documents are concatenated in doc_id order and cut into
+    fixed seq_len-token examples, so a document may span a pack
+    boundary.  Token position = exclusive running sum of per-doc
+    whitespace token counts (one window over a constant partition is
+    fine at test scale; at 10^12 docs the running sum comes from
+    per-Iceberg-partition token subtotals — a two-level scan — and the
+    window becomes per-partition).  Each doc explodes to the packs it
+    overlaps (bounded: ≤ tokens/seq_len + 1 rows), then pack-level
+    aggregation shuffles on pack_id only.
+
+    Output: one row per pack — n_docs spanning it, n_tokens (seq_len
+    except the final pack), first/last doc id.
+    """
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "start_tok", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    packs = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                (F.col("start_tok") / seq_len).cast("bigint"),
+                (
+                    (F.col("start_tok") + F.col("toks") - 1) / seq_len
+                ).cast("bigint"),
+            )
+        ).alias("pack_id"),
+        "start_tok",
+    )
+    end_tok = F.col("start_tok") + F.col("toks")
+    tok_in_pack = (
+        F.least(end_tok, (F.col("pack_id") + 1) * seq_len)
+        - F.greatest(F.col("start_tok"), F.col("pack_id") * seq_len)
+    )
+    return (
+        packs.withColumn("tok_in_pack", tok_in_pack)
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("tok_in_pack").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

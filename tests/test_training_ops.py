@@ -203,3 +203,74 @@ def test_lsh_verified_matches_scoped_jaccard(spark):
             assert abs(exact[pair] - r["jaccard"]) < 1e-9
             checked += 1
     assert checked
+
+
+def test_pii_redaction_patterns(spark):
+    from super_speedy_syslog_searcher_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "src 192.168.0.1 dst 10.20.30.40"),
+            (3, "card 4111111111111111 and ref 12345678"),
+            (4, "short 1234567 stays; ip-ish 1.2.3.4 goes"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> now"
+    assert got[1]["n_emails"] == 1
+    assert got[2]["clean_text"] == "src <IP> dst <IP>"
+    assert got[2]["n_ips"] == 2
+    assert got[3]["clean_text"] == "card <NUM> and ref <NUM>"
+    assert got[3]["n_longnums"] == 2
+    assert got[4]["clean_text"] == "short 1234567 stays; ip-ish <IP> goes"
+    assert got[4]["n_longnums"] == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from super_speedy_syslog_searcher_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (500 + i * 100))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    packs = pack_sequences(docs, seq_len=1000).toPandas().sort_values(
+        "pack_id"
+    )
+    total = sum(500 + i * 100 for i in range(10))
+    # conservation: pack token counts sum to the corpus token count
+    assert int(packs["n_tokens"].sum()) == total
+    # every pack but the last is exactly full
+    assert (packs["n_tokens"].iloc[:-1] == 1000).all()
+    # a doc longer than seq_len spans multiple packs
+    assert int(packs["n_docs"].sum()) > 10
+
+
+def test_semantic_dedup_drops_planted_copy(spark):
+    from super_speedy_syslog_searcher_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    out = semantic_dedup(aug).toPandas()
+    assert len(out) == aug.count()  # one verdict per vector
+    # representatives always keep
+    reps = out[out["vec_id"] == out["rep_id"]]
+    assert reps["keep"].all()
+    # at least one planted copy whose original is its cell's
+    # representative gets dropped at cosine 1.0
+    dropped = out[~out["keep"]]
+    assert len(dropped) >= 1
+    assert (dropped["cos_to_rep"] >= 0.95).all()
