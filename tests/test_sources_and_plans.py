@@ -194,3 +194,45 @@ def test_lsh_verified_join_has_no_shingle_self_join(spark):
     plan = plans.explain_str(dedup.lsh_verified_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_plan_broadcast_no_cartesian(spark):
+    """semantic_dedup's member→representative join must broadcast the
+    one-row-per-cell rep table and key on the cell — the O(N x 1)
+    SemDeDup shape, never pairwise.  The only nested-loop joins
+    allowed are the constant-size centroid broadcasts of
+    seed_scores."""
+    from super_speedy_syslog_searcher_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plans.explain_str(similarity.semantic_dedup(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # seed_scores evaluates twice (member side + rep derivation), so
+    # up to 2 unique centroid BNLJ nodes (formatted explain prints
+    # each node twice -> 4 mentions), every one atop a BroadcastExchange
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 4 and plan.count("BroadcastExchange") >= n_bnlj
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    """The redaction chain must be whole-stage-codegen expressions —
+    no Python/Arrow eval node anywhere in the plan."""
+    from super_speedy_syslog_searcher_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.explain_str(textstats.redact_pii(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # formatted-mode codegen annotation
+
+
+def test_pack_sequences_bounded_explode(spark):
+    """pack_sequences explodes each doc onto only the packs it
+    overlaps (Generate over a sequence, not a join) and aggregates on
+    pack_id; no join of any kind belongs in this plan."""
+    from super_speedy_syslog_searcher_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.explain_str(textstats.pack_sequences(docs))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan and "HashAggregate" in plan
