@@ -2,6 +2,17 @@
 
     python -m super_speedy_syslog_searcher_spark.cli <sf_dir> \
         -a 2024-01-10 -b @+5d --prepend-utc --prepend-conv --summary
+    python -m super_speedy_syslog_searcher_spark.cli \
+        /var/log/app.log logs/*.gz events.evtx system.journal wtmp -u -n
+
+Two input modes: a testdata dir holding events.parquet (the
+transcripts-table corpus), or — s4's own invocation shape — one or
+more file paths/globs routed by type (filepreprocessor.rs:1188
+path_to_filetype): text (+gz/bz2/xz, any UTF encoding) runs the full
+parse→repair→assemble pipeline with per-source mtime anchor years;
+.evtx / .journal / utmp-family files decode through the binary
+readers and arrive pre-timestamped; everything fans into ONE
+dt-filtered globally ordered merge.
 
 Mirrors the reference's UX (README.md:34-56): a datetime window
 (-a/-b) over many sources, globally datetime-ordered output, optional
@@ -597,7 +608,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="s4spark", description=__doc__.splitlines()[0]
     )
-    ap.add_argument("sf_dir", help="testdata dir holding events.parquet")
+    ap.add_argument(
+        "inputs", nargs="+",
+        help="testdata dir holding events.parquet (table mode), OR "
+             "one or more log / .gz / .bz2 / .xz / .evtx / .journal / "
+             "utmp file paths or globs (s4 <paths> mode: routed by "
+             "path_to_filetype, binary readers included)",
+    )
     ap.add_argument("-a", "--dt-after", default=None)
     ap.add_argument("-b", "--dt-before", default=None)
     ap.add_argument("-t", "--tz-offset", default=None,
@@ -690,13 +707,39 @@ def main(argv: list[str] | None = None) -> int:
         app_name="s4spark-cli",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    t = transcripts_df(spark, args.sf_dir)
-    merged = P.full_merge(
-        t,
-        after.isoformat(sep=" ") if after else None,
-        before.isoformat(sep=" ") if before else None,
-        tz_offset_min=tzmin,
+    import os as _os
+
+    a_str = after.isoformat(sep=" ") if after else None
+    b_str = before.isoformat(sep=" ") if before else None
+    table_mode = (
+        len(args.inputs) == 1
+        and _os.path.isdir(args.inputs[0])
+        and _os.path.exists(
+            _os.path.join(args.inputs[0], "events.parquet")
+        )
     )
+    if table_mode:
+        t = transcripts_df(spark, args.inputs[0])
+        merged = P.full_merge(t, a_str, b_str, tz_offset_min=tzmin)
+    else:
+        # s4 <paths> mode: route by file type (text / evtx / journal /
+        # fixedstruct), text runs the full parse+repair+assemble
+        # pipeline with per-source mtime anchor years, binary readers
+        # arrive pre-timestamped; one dt-filtered global merge.
+        # --summary re-parses the text view of every source, so
+        # binary sources show their records as pre-stamped rows (the
+        # Parsers table covers regex-parsed sources only).
+        from .operators.merge import dt_filter as _dtf
+        from .operators.merge import merge_ordered as _mo
+        from .sources.logfiles import assembled_from_paths
+
+        asm = assembled_from_paths(
+            spark, args.inputs, tz_offset_min=tzmin
+        )
+        merged = _mo(_dtf(asm, a_str, b_str))
+        t = asm.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
     sep = decode_separator(args.separator)
     if args.out_format == "jsonl":
         # journalctl -o json analogue: a to_json projection, rendered

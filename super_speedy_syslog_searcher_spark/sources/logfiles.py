@@ -277,3 +277,126 @@ def read_log_files_decoded(
         bf.select("path", "modificationTime", "content")
         .mapInPandas(decode, schema)
     )
+
+
+# ---------------------------------------------------------------- routing
+
+# path_to_filetype parity (src/readers/filepreprocessor.rs:1188,1462):
+# extension → reader family.  Unknown extensions route to the text
+# reader (s4 attempts text parsing for unrecognized files).
+_FIXEDSTRUCT_NAMES = ("utmp", "wtmp", "btmp", "utmpx", "wtmpx", "lastlog")
+
+
+def path_to_filetype(path: str) -> str:
+    """'evtx' | 'journal' | 'fixedstruct' | 'text'."""
+    low = path.lower()
+    if low.endswith(".evtx"):
+        return "evtx"
+    if low.endswith(".journal"):
+        return "journal"
+    base = low.rsplit("/", 1)[-1]
+    stem = base.split(".")[0]
+    if stem in _FIXEDSTRUCT_NAMES or base.endswith(
+        tuple("." + n for n in _FIXEDSTRUCT_NAMES)
+    ):
+        return "fixedstruct"
+    return "text"
+
+
+def assembled_from_paths(
+    spark: SparkSession,
+    paths: list[str] | str,
+    tz_offset_min: int = 0,
+) -> DataFrame:
+    """`s4 <paths>` parity: route each input file by type
+    (path_to_filetype), run the text pipeline (encoding-aware read →
+    pattern-bank parse with per-source mtime anchor years → repair →
+    sysline assembly) on the text group, and map the binary readers'
+    already-timestamped records (evtx / journal / fixedstruct)
+    straight onto the assembled schema — the reference's
+    per-LogMessageType processing fan-in (s4.rs processing_loop) as a
+    unionByName.  The result feeds dt_filter + merge_ordered
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from .. import pipeline as P
+
+    if isinstance(paths, str):
+        paths = [paths]
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        matches = _glob.glob(p) or [p]
+        for g in matches:
+            groups.setdefault(path_to_filetype(g), []).append(g)
+    parts: list[DataFrame] = []
+    sel = [
+        "conv_id", "turn_idx", "role", "tool", "text", "ts",
+        "ts_eff", "sink_eff", "msg_turn_idx",
+    ]
+    if "text" in groups:
+        asm = P.assembled_files(
+            read_log_files_decoded(spark, groups["text"]),
+            tz_offset_min=tz_offset_min,
+        )
+        parts.append(asm.select(*sel))
+    if "evtx" in groups:
+        from ..operators.evtx import read_evtx
+
+        ev = read_evtx(spark, groups["evtx"])
+        parts.append(
+            ev.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.lit("evtx").alias("role"),
+                F.lit("none").alias("tool"),
+                F.col("payload").alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("evtx").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+    if "journal" in groups:
+        from ..operators.journal import read_journal
+
+        jr = read_journal(spark, groups["journal"])
+        parts.append(
+            jr.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.coalesce(
+                    F.nullif("identifier", F.lit("")), F.lit("journal")
+                ).alias("role"),
+                F.lit("none").alias("tool"),
+                F.col("message").alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("journal").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+    if "fixedstruct" in groups:
+        from ..operators.fixedstruct import read_fixedstruct
+
+        fx = read_fixedstruct(spark, groups["fixedstruct"])
+        parts.append(
+            fx.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.lit("utmpx").alias("role"),
+                F.lit("none").alias("tool"),
+                F.concat_ws(
+                    " ", "ut_user", "ut_line", "ut_host"
+                ).alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("utmpx").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+    if not parts:
+        raise ValueError(f"no readable inputs among {paths!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -325,3 +325,92 @@ def test_cli_full_summary_layout():
     first = _re.search(r"Datetime printed first : (\S+ \S+) ", err).group(1)
     last = _re.search(r"Datetime printed last  : (\S+ \S+) ", err).group(1)
     assert "2024-01-10" <= first <= last <= "2024-01-20"
+
+
+def test_cli_file_paths_mode_multi_format(tmp_path):
+    """`s4 <paths>` parity: the CLI accepts real files, routes by type
+    (text / .gz / .evtx / .journal / utmp), and emits ONE globally
+    datetime-ordered merge across all of them."""
+    import gzip as _gzip
+
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+    )
+    from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+        encode_records,
+    )
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        encode_journal,
+    )
+
+    (tmp_path / "app.log").write_text(
+        "2024-01-05T03:00:10 text one\n"
+        "2024-01-05T03:00:40 text two\n"
+        "    continuation of two\n"
+    )
+    with _gzip.open(tmp_path / "zip.log.gz", "wt") as f:
+        f.write("2024-01-05T03:00:25 gz line\n")
+    base = 1_704_423_600_000_000  # 2024-01-05T03:00:00Z in µs
+    (tmp_path / "events.evtx").write_bytes(
+        encode_evtx(
+            [
+                {"record_id": 1, "ts_us": base + 5_000_000,
+                 "payload": "<Event>evtx five</Event>"},
+                {"record_id": 2, "ts_us": base + 35_000_000,
+                 "payload": "<Event>evtx thirtyfive</Event>"},
+            ]
+        )
+    )
+    (tmp_path / "system.journal").write_bytes(
+        encode_journal(
+            [
+                {"seqnum": 1, "ts_us": base + 20_000_000,
+                 "fields": {"MESSAGE": "journal twenty",
+                            "SYSLOG_IDENTIFIER": "jd"}},
+            ]
+        )
+    )
+    (tmp_path / "wtmp").write_bytes(
+        encode_records(
+            [
+                {"ut_user": "root", "ut_line": "pts/1",
+                 "ut_host": "box", "tv_sec": base // 1_000_000 + 50,
+                 "tv_usec": 0},
+            ]
+        )
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "app.log"),
+            str(tmp_path / "zip.log.gz"),
+            str(tmp_path / "events.evtx"),
+            str(tmp_path / "system.journal"),
+            str(tmp_path / "wtmp"),
+            "-u", "-n",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 8
+    stamps = [ln.split(" ")[0] for ln in lines]
+    assert stamps == sorted(stamps)  # one global merge
+    # interleaving across source types, in event-time order
+    order = [ln.split(" ", 2)[1].rstrip(":") for ln in lines]
+    assert order == [
+        "events.evtx",     # 03:00:05
+        "app.log",         # 03:00:10
+        "system.journal",  # 03:00:20
+        "zip.log.gz",      # 03:00:25
+        "events.evtx",     # 03:00:35
+        "app.log",         # 03:00:40
+        "app.log",         # continuation inherits 03:00:40
+        "wtmp",            # 03:00:50
+    ]
+    assert "journal twenty" in lines[2]
+    assert "root pts/1 box" in lines[-1]
