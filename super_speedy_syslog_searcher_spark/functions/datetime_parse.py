@@ -390,16 +390,19 @@ def parse_series(
         anchor_year = (
             anchor_years.reindex(idx).fillna(anchor_year).astype("int64")
         )
-    out = pd.DataFrame(
-        {
-            "ts_parsed": pd.Series(pd.NaT, index=idx, dtype="datetime64[ns]"),
-            "pattern_id": pd.Series(pd.NA, index=idx, dtype="Int32"),
-            "sink": pd.Series(CONTINUATION_SINK, index=idx, dtype="object"),
-            "dt_beg": pd.Series(pd.NA, index=idx, dtype="Int32"),
-            "dt_end": pd.Series(pd.NA, index=idx, dtype="Int32"),
-            "uptime_us": pd.Series(pd.NA, index=idx, dtype="Int64"),
-        }
-    )
+    # result buffers: positional numpy arrays assembled into the
+    # output frame ONCE at the end — six .loc label-writes per pattern
+    # per batch measured ~9% of the parse (337 __setitem__ calls on a
+    # 200k-row batch); numpy fancy assignment replaces them
+    n = len(texts)
+    pos = pd.Series(np.arange(n, dtype="int64"), index=idx)
+    ts_arr = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
+    pid_arr = np.full(n, -1, dtype="int32")
+    sink_arr = np.full(n, CONTINUATION_SINK, dtype=object)
+    beg_arr = np.zeros(n, dtype="int32")
+    end_arr = np.zeros(n, dtype="int32")
+    up_arr = np.zeros(n, dtype="int64")
+    up_mask = np.zeros(n, dtype=bool)
     # Arrow-backed strings: .str.slice/isdigit/startswith run in C
     # instead of a per-row Python lambda — measured 4.4× on the mask
     # pass, which is half the parse cost at 29 patterns.  The astype
@@ -431,18 +434,22 @@ def parse_series(
                 if g.empty:
                     return
         midx = g.index
-        out.loc[midx, "ts_parsed"] = ts
-        out.loc[midx, "pattern_id"] = np.int32(p.pid)
-        out.loc[midx, "sink"] = p.name
+        ppos = pos[midx].to_numpy()
+        ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
+        pid_arr[ppos] = p.pid
+        sink_arr[ppos] = p.name
         beg = (
-            g["pre"].str.len().astype("int64")
+            g["pre"].str.len().astype("int64").to_numpy()
             if p.dt_beg is None
             else p.dt_beg
         )
-        out.loc[midx, "dt_beg"] = beg
-        out.loc[midx, "dt_end"] = beg + g["dt"].str.len().astype("int64")
+        beg_arr[ppos] = beg
+        end_arr[ppos] = beg + g["dt"].str.len().astype(
+            "int64"
+        ).to_numpy()
         if up is not None:
-            out.loc[midx, "uptime_us"] = up
+            up_arr[ppos] = up.to_numpy(dtype="int64")
+            up_mask[ppos] = True
         remaining.loc[midx] = False
 
     if winner_pids is not None:
@@ -479,19 +486,44 @@ def parse_series(
             if g.empty:
                 return
             midx = g.index
-            out.loc[midx, "ts_parsed"] = ts
-            out.loc[midx, "pattern_id"] = np.int32(p.pid)
-            out.loc[midx, "sink"] = p.name
-            beg = g["pre"].str.len().astype("int64")
-            out.loc[midx, "dt_beg"] = beg
-            out.loc[midx, "dt_end"] = beg + g["dt"].str.len().astype("int64")
+            ppos = pos[midx].to_numpy()
+            ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
+            pid_arr[ppos] = p.pid
+            sink_arr[ppos] = p.name
+            beg = g["pre"].str.len().astype("int64").to_numpy()
+            beg_arr[ppos] = beg
+            end_arr[ppos] = beg + g["dt"].str.len().astype(
+                "int64"
+            ).to_numpy()
             remaining.loc[midx] = False
 
         for p in SCAN_PATTERNS:
             if not remaining.any():
                 break
             try_scan(p, smasks[p.pid])
-    return out
+    no_match = pid_arr < 0
+    return pd.DataFrame(
+        {
+            "ts_parsed": pd.Series(ts_arr, index=idx),
+            "pattern_id": pd.Series(
+                pd.arrays.IntegerArray(pid_arr, mask=no_match),
+                index=idx,
+            ),
+            "sink": pd.Series(sink_arr, index=idx, dtype="object"),
+            "dt_beg": pd.Series(
+                pd.arrays.IntegerArray(beg_arr, mask=no_match),
+                index=idx,
+            ),
+            "dt_end": pd.Series(
+                pd.arrays.IntegerArray(end_arr, mask=no_match),
+                index=idx,
+            ),
+            "uptime_us": pd.Series(
+                pd.arrays.IntegerArray(up_arr, mask=~up_mask),
+                index=idx,
+            ),
+        }
+    )
 
 
 def make_parse_udf(
