@@ -613,6 +613,36 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+LEAK = " leak marker phrase alpha beta gamma delta epsilon"
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination under the driver oracle: documents
+    split into a benchmark set (doc_id % 47 == 0) and a training set;
+    a known leak phrase is planted in benchmark doc 0 and in training
+    docs with doc_id % 31 == 1 (both engines derive it identically),
+    then the 5-gram-overlap check flags every contaminated training
+    doc.  The benchmark's distinct grams broadcast; corpus rows never
+    shuffle."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plant = lambda cond: F.concat(  # noqa: E731
+        F.col("text"), F.when(cond, F.lit(LEAK)).otherwise(F.lit(""))
+    )
+    bench = docs.filter(F.col("doc_id") % 47 == 0).select(
+        "doc_id", plant(F.col("doc_id") == 0).alias("text")
+    )
+    train = docs.filter(F.col("doc_id") % 47 != 0).select(
+        "doc_id", plant(F.col("doc_id") % 31 == 1).alias("text")
+    )
+    out = dedup.contamination_check(train, bench)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_overlaps").cast("int").alias("n_overlaps"),
+        "example_gram",
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing under the driver oracle.  The synthetic documents
     carry no planted PII, so both engines derive the same augmented
@@ -860,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
+        "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "dedup_semantic": q_dedup_semantic,
@@ -1217,6 +1248,32 @@ s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
        max(cosine) AS cosine
 FROM s WHERE cosine >= 0.98 GROUP BY 1, 2""",
+        "contamination": """WITH
+bench AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id = 0
+                      THEN ' leak marker phrase alpha beta gamma delta epsilon'
+                      ELSE '' END AS text
+  FROM documents WHERE doc_id % 47 = 0),
+train AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 31 = 1
+                      THEN ' leak marker phrase alpha beta gamma delta epsilon'
+                      ELSE '' END AS text
+  FROM documents WHERE doc_id % 47 <> 0),
+bw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM bench),
+bx AS (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws FROM bw),
+bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+              || ws[i+3] || ' ' || ws[i+4] AS gram FROM bx),
+tw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM train),
+tx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws FROM tw),
+tg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+              || ws[i+3] || ' ' || ws[i+4] AS gram FROM tx)
+SELECT CAST(tg.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS INT) AS n_overlaps,
+       MIN(tg.gram) AS example_gram
+FROM tg JOIN bg ON bg.gram = tg.gram
+GROUP BY 1""",
         "pii_redact": r"""WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -242,3 +242,41 @@ def simhash(docs: DataFrame) -> DataFrame:
         )
         hex_cols.append(F.lower(F.conv(nibble.cast("string"), 10, 16)))
     return sums.select("doc_id", F.concat(*hex_cols).alias("simhash_hex"))
+
+
+CONTAM_W = 5  # benchmark-overlap n-gram width
+
+
+def contamination_check(
+    docs: DataFrame, benchmark: DataFrame, w: int = CONTAM_W
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word w-gram with a held-out benchmark set (the standard
+    n-gram-overlap contamination test run before pretraining).
+
+    The benchmark side collapses to its DISTINCT w-grams; that set is
+    small relative to the corpus (benchmarks are thousands of items,
+    the corpus is 10^12 docs), so the overlap join BROADCASTS the
+    benchmark grams and the corpus side streams through map-side —
+    zero shuffle of corpus data.  If a benchmark outgrows the
+    broadcast threshold the same join degrades gracefully to a
+    shuffled hash join keyed on the gram.
+
+    Output: one row per CONTAMINATED doc — overlapping-gram count +
+    one deterministic example gram (min) for audit.
+    """
+    bench_grams = _shingles(
+        benchmark.select("doc_id", "text"), w
+    ).select(F.col("shingle").alias("bgram")).distinct()
+    doc_grams = _shingles(docs, w)
+    return (
+        doc_grams.join(
+            F.broadcast(bench_grams),
+            doc_grams["shingle"] == bench_grams["bgram"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_overlaps"),
+            F.min("shingle").alias("example_gram"),
+        )
+    )

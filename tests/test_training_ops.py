@@ -274,3 +274,33 @@ def test_semantic_dedup_drops_planted_copy(spark):
     dropped = out[~out["keep"]]
     assert len(dropped) >= 1
     assert (dropped["cos_to_rep"] >= 0.95).all()
+
+
+def test_contamination_flags_planted_leak(spark):
+    from super_speedy_syslog_searcher_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "clean text with no overlap whatsoever in this row"),
+            (2, "contains the quick brown fox jumps over the fence"),
+            (3, "quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in contamination_check(train, bench).collect()
+    }
+    assert 1 not in got
+    # doc 2 shares 3 five-grams ('the quick brown fox jumps',
+    # 'quick brown fox jumps over', 'brown fox jumps over the');
+    # doc 3 shares a longer run
+    assert got[2]["n_overlaps"] == 3
+    assert got[3]["n_overlaps"] >= 4
+    # min() gram — 'brown fox jumps over the' sorts first
+    assert got[2]["example_gram"] == "brown fox jumps over the"
