@@ -361,7 +361,7 @@ _SUMMARY_FILE_CAP = 20  # human-facing cap on per-source blocks
 
 
 def _maybe_summary(args, t, printed: dict, after=None, before=None,
-                   t0: float = 0.0) -> None:
+                   t0: float = 0.0, asm=None) -> None:
     """--summary parity (printer/summary.rs:864-990 print_summary,
     :1279-1515 per-file Processed/Parsers blocks, :163-189
     SummaryPrinted): per-source About/Processed/Parsers sections for
@@ -381,7 +381,23 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
 
     err = sys.stderr
 
-    parsed = P.parse_repair(t, narrow=True)
+    if asm is not None:
+        # file mode hands us the already-assembled frame (every source
+        # type, binary readers included, carries ts_eff/sink_eff) —
+        # no second parse, and binary sources report real syslines
+        is_anchor = F.col("msg_turn_idx") == F.col("turn_idx")
+        parsed = asm.select(
+            "conv_id",
+            "ts",
+            F.length("text").cast("int").alias("text_len"),
+            F.when(is_anchor, F.col("ts_eff")).alias("ts_parsed"),
+            F.when(
+                is_anchor & (F.col("sink_eff") != "continuation"),
+                F.col("sink_eff"),
+            ).alias("sink_name"),
+        )
+    else:
+        parsed = P.parse_repair(t, narrow=True)
     parsed.persist()
     try:
         per_conv = (
@@ -393,13 +409,17 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
                 F.min("ts_parsed").alias("dt_first"),
                 F.max("ts_parsed").alias("dt_last"),
                 F.max("ts").alias("mtime"),
-                F.year(
-                    F.max(
-                        F.when(
-                            F.col("pattern_id").isin(
-                                *NOYEAR_PATTERN_IDS
-                            ),
-                            F.col("ts_parsed"),
+                (
+                    F.lit(None).cast("int")
+                    if asm is not None
+                    else F.year(
+                        F.max(
+                            F.when(
+                                F.col("pattern_id").isin(
+                                    *NOYEAR_PATTERN_IDS
+                                ),
+                                F.col("ts_parsed"),
+                            )
                         )
                     )
                 ).alias("noyear_est"),
@@ -409,19 +429,33 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
             .collect()
         )
         ids = [r["conv_id"] for r in per_conv]
-        pat_rows = (
-            parsed.filter(
-                F.col("conv_id").isin(ids)
-                & F.col("pattern_id").isNotNull()
+        if asm is not None:
+            pat_rows = (
+                parsed.filter(
+                    F.col("conv_id").isin(ids)
+                    & F.col("sink_name").isNotNull()
+                )
+                .groupBy("conv_id", "sink_name")
+                .agg(F.count("*").alias("uses"))
+                .collect()
             )
-            .groupBy("conv_id", "pattern_id")
-            .agg(F.count("*").alias("uses"))
-            .collect()
-        )
+        else:
+            pat_rows = (
+                parsed.filter(
+                    F.col("conv_id").isin(ids)
+                    & F.col("pattern_id").isNotNull()
+                )
+                .groupBy("conv_id", "pattern_id")
+                .agg(F.count("*").alias("uses"))
+                .collect()
+            )
         pats = {}
         for r in pat_rows:
+            key = (
+                r["sink_name"] if asm is not None else int(r["pattern_id"])
+            )
             pats.setdefault(r["conv_id"], []).append(
-                (int(r["pattern_id"]), int(r["uses"]))
+                (key, int(r["uses"]))
             )
         g = parsed.agg(
             F.countDistinct("conv_id").alias("convs"),
@@ -446,10 +480,13 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
         err.write(f"{ind2}Syslines      : {r['syslines']}\n")
         err.write(f"{ind2}datetime first: {r['dt_first']}\n")
         err.write(f"{ind2}datetime last : {r['dt_last']}\n")
-        plist = sorted(pats.get(r["conv_id"], []))
+        plist = sorted(pats.get(r["conv_id"], []), key=str)
         if plist:
             err.write(f"{ind1}Parsers:\n")
         for pid, uses in plist:
+            if isinstance(pid, str):  # file mode: sink name directly
+                err.write(f"{ind2}@[{pid}] (uses {uses})\n")
+                continue
             p = by_pid.get(pid)
             err.write(
                 f"{ind2}@[{pid}] regex {p.name if p else '?'} "
@@ -718,6 +755,7 @@ def main(argv: list[str] | None = None) -> int:
             _os.path.join(args.inputs[0], "events.parquet")
         )
     )
+    asm_summary = None
     if table_mode:
         t = transcripts_df(spark, args.inputs[0])
         merged = P.full_merge(t, a_str, b_str, tz_offset_min=tzmin)
@@ -737,6 +775,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.inputs, tz_offset_min=tzmin
         )
         merged = _mo(_dtf(asm, a_str, b_str))
+        asm_summary = asm
         t = asm.select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )
@@ -762,7 +801,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         st = _drain(lines, args.limit)
         # --summary works with jsonl too
-        _maybe_summary(args, t, st, after, before, t0)
+        _maybe_summary(args, t, st, after, before, t0, asm_summary)
         spark.stop()
         return 0
     if args.out_format in _JOURNAL_FORMATS:
@@ -771,7 +810,7 @@ def main(argv: list[str] | None = None) -> int:
             "ts_eff",
         )
         st = _drain(lines, args.limit)
-        _maybe_summary(args, t, st, after, before, t0)
+        _maybe_summary(args, t, st, after, before, t0, asm_summary)
         spark.stop()
         return 0
     out = F.col("text")
@@ -830,7 +869,7 @@ def main(argv: list[str] | None = None) -> int:
         out = F.concat(stamp, F.lit(psep), out)
     lines = merged.select(out.alias("line"), "ts_eff")
     st = _drain(lines, args.limit)
-    _maybe_summary(args, t, st, after, before, t0)
+    _maybe_summary(args, t, st, after, before, t0, asm_summary)
     spark.stop()
     return 0
 

@@ -414,3 +414,56 @@ def test_cli_file_paths_mode_multi_format(tmp_path):
     ]
     assert "journal twenty" in lines[2]
     assert "root pts/1 box" in lines[-1]
+
+
+def test_cli_file_mode_summary_counts_binary_syslines(tmp_path):
+    """File-mode --summary consumes the assembled frame: binary
+    sources (pre-timestamped) report their records as syslines, and
+    the Parsers block lists the sink."""
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+    )
+
+    (tmp_path / "a.log").write_text(
+        "2024-01-05T03:00:10 one\n2024-01-05T03:00:20 two\n"
+    )
+    (tmp_path / "e.evtx").write_bytes(
+        encode_evtx(
+            [
+                {"record_id": 1, "ts_us": 1_704_423_605_000_000,
+                 "payload": "<E>x</E>"},
+                {"record_id": 2, "ts_us": 1_704_423_615_000_000,
+                 "payload": "<E>y</E>"},
+                {"record_id": 3, "ts_us": 1_704_423_625_000_000,
+                 "payload": "<E>z</E>"},
+            ]
+        )
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "a.log"),
+            str(tmp_path / "e.evtx"),
+            "--summary",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1200:]
+    assert len(out.stdout.strip().splitlines()) == 5
+    import re as _re
+
+    err = out.stderr
+    blocks = dict(
+        _re.findall(
+            r"File: \S*/(\S+)\n.*?Syslines      : (\d+)",
+            err,
+            _re.S,
+        )
+    )
+    assert blocks.get("e.evtx") == "3"
+    assert blocks.get("a.log") == "2"
+    assert "@[evtx] (uses 3)" in err
