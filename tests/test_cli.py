@@ -467,3 +467,35 @@ def test_cli_file_mode_summary_counts_binary_syslines(tmp_path):
     assert blocks.get("e.evtx") == "3"
     assert blocks.get("a.log") == "2"
     assert "@[evtx] (uses 3)" in err
+
+
+def test_cli_tz_offset_end_to_end(tmp_path):
+    """-t/--tz-offset shifts tz-less file timestamps end-to-end: the
+    same file read with -t=-0500 prints UTC stamps 5 h later than
+    with -t +00:00, and a -a filter expressed in the default zone
+    selects accordingly."""
+    (tmp_path / "naive.log").write_text(
+        "2024-01-05T10:00:00 first\n2024-01-05T11:00:00 second\n"
+    )
+
+    def run(*extra):
+        out = subprocess.run(
+            [
+                sys.executable, "-m",
+                "super_speedy_syslog_searcher_spark.cli",
+                str(tmp_path / "naive.log"), "-u", *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return out.stdout.strip().splitlines()
+
+    utc = run("-t", "+00:00")
+    est = run("-t=-0500")  # = notation for leading '-', s4-style
+    assert utc[0].startswith("20240105T100000Z")
+    assert est[0].startswith("20240105T150000Z")  # 10:00 EST → 15:00Z
+    # filter in the default zone: -a 10:30 local (-0500) = 15:30Z,
+    # keeps only the second line
+    win = run("-t=-0500", "-a", "2024-01-05T10:30:00")
+    assert len(win) == 1 and win[0].endswith("second")
