@@ -141,3 +141,61 @@ def test_anchor_year_from_source_mtime(spark, tmp_path):
     }
     assert got["y2025.log"] == dt.datetime(2025, 1, 5, 3, 4, 5)
     assert got["y2023.log"] == dt.datetime(2023, 1, 5, 3, 4, 5)
+
+
+def test_filter_grammar_tz_invariants():
+    """Property sweep: values carrying their OWN tz are invariant to
+    the default offset; naive values shift by exactly the default;
+    epoch forms are always absolute."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    explicit = [
+        "2024-03-07T08:30:00Z",
+        "2024-03-07T08:30:00+02:00",
+        "2024-03-07 08:30:00 PST",
+        "20240307T083000-0330",
+        "1704112402",
+    ]
+    naive = [
+        "2024-03-07",
+        "2024-03-07T08:30",
+        "2024-03-07 08:30:45",
+        "20240307_083045",
+    ]
+    offsets = [-720, -330, -60, 0, 45, 330, 840]
+    now = dt.datetime(2024, 3, 7, 12, 0, 0)
+    for v, tz1, tz2 in itertools.product(explicit, offsets[:3], offsets[3:]):
+        assert parse_dt_filter(v, now=now, tzmin=tz1) == parse_dt_filter(
+            v, now=now, tzmin=tz2
+        ), v
+    for v, tzm in itertools.product(naive, offsets):
+        base = parse_dt_filter(v, now=now, tzmin=0)
+        got = parse_dt_filter(v, now=now, tzmin=tzm)
+        assert base - got == dt.timedelta(minutes=tzm), (v, tzm)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        h=st.integers(0, 23),
+        mi=st.integers(0, 59),
+        s=st.integers(0, 59),
+        tzm=st.sampled_from(offsets),
+    )
+    def hms_shifts_by_default(h, mi, s, tzm):
+        v = f"{h:02d}:{mi:02d}:{s:02d}"
+        base = parse_dt_filter(v, now=now, tzmin=0)
+        got = parse_dt_filter(v, now=now, tzmin=tzm)
+        # date fill uses the LOCAL day, so besides the offset a
+        # whole-day boundary crossing may apply; the exact-value
+        # assertion below captures both
+        assert base is not None
+        assert got == dt.datetime(
+            (now + dt.timedelta(minutes=tzm)).year,
+            (now + dt.timedelta(minutes=tzm)).month,
+            (now + dt.timedelta(minutes=tzm)).day,
+            h, mi, s,
+        ) - dt.timedelta(minutes=tzm), (v, tzm)
+
+    hms_shifts_by_default()
