@@ -186,3 +186,97 @@ def pack_sequences(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+PACK_N_BUCKETS = 64
+
+
+def pack_sequences_bucketed(
+    docs: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_buckets: int = PACK_N_BUCKETS,
+) -> DataFrame:
+    """The 10^12-doc form of ``pack_sequences`` — OUTPUT-IDENTICAL to
+    the global-window version (tested), with the running token sum
+    computed as a two-level scan instead of one global window:
+
+     1. docs bucket by contiguous doc_id range (the Iceberg partition
+        analogue; any range-partitioning that preserves doc order
+        works);
+     2. per-bucket token subtotals — a tiny n_buckets-row aggregate —
+        turn into per-bucket base offsets via one window over that
+        METADATA-sized frame, broadcast back;
+     3. each doc's global start offset = bucket base + a window that
+        partitions BY BUCKET (no global single-partition sort
+        anywhere; plan-asserted).
+
+    The explode/aggregate tail is shared with the global version.
+    """
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    d = docs.select("doc_id", toks.alias("toks"))
+    # contiguous RANGE buckets from the doc_id value itself — all the
+    # ordering needs is bucket order agreeing with doc_id order, which
+    # integer division preserves.  The max-id lookup is one
+    # metadata-sized agg (at 10^12 rows it comes from the table's
+    # partition statistics, not a scan).
+    hi = d.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"] or 0
+    span = max(1, (int(hi) + n_buckets) // n_buckets)
+    d = d.withColumn(
+        "_bkt", (F.col("doc_id") / F.lit(span)).cast("bigint")
+    )
+    base = (
+        d.groupBy("_bkt")
+        .agg(F.sum("toks").alias("_sub"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_sub").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_base")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = (
+        d.join(F.broadcast(base), "_bkt")
+        .withColumn(
+            "start_tok",
+            F.col("_base")
+            + F.coalesce(F.sum("toks").over(w_in), F.lit(0)),
+        )
+        .drop("_bkt", "_base")
+    )
+    packs = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                (F.col("start_tok") / seq_len).cast("bigint"),
+                (
+                    (F.col("start_tok") + F.col("toks") - 1) / seq_len
+                ).cast("bigint"),
+            )
+        ).alias("pack_id"),
+        "start_tok",
+    )
+    end_tok = F.col("start_tok") + F.col("toks")
+    tok_in_pack = (
+        F.least(end_tok, (F.col("pack_id") + 1) * seq_len)
+        - F.greatest(F.col("start_tok"), F.col("pack_id") * seq_len)
+    )
+    return (
+        packs.withColumn("tok_in_pack", tok_in_pack)
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("tok_in_pack").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

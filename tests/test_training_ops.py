@@ -304,3 +304,40 @@ def test_contamination_flags_planted_leak(spark):
     assert got[3]["n_overlaps"] >= 4
     # min() gram — 'brown fox jumps over the' sorts first
     assert got[2]["example_gram"] == "brown fox jumps over the"
+
+
+def test_pack_sequences_bucketed_equals_global(spark):
+    """The two-level-scan packing (scale path) is output-identical to
+    the global-window version, and its plan contains NO
+    single-partition global window over the corpus (the per-doc
+    running sum partitions by bucket; the only global Sort allowed is
+    over the n_buckets-row subtotal frame)."""
+    from super_speedy_syslog_searcher_spark.operators.textstats import (
+        pack_sequences,
+        pack_sequences_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = (
+        pack_sequences(docs, seq_len=512)
+        .toPandas()
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_sequences_bucketed(docs, seq_len=512, n_buckets=7)
+        .toPandas()
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # plan shape: the per-doc running-sum window exchanges on the
+    # bucket hash; the ONLY SinglePartition exchange left is the
+    # n_buckets-row subtotal window (metadata-sized by construction)
+    from super_speedy_syslog_searcher_spark import plans
+
+    plan = plans.explain_str(
+        pack_sequences_bucketed(docs, seq_len=512, n_buckets=7)
+    )
+    assert "hashpartitioning(_bkt" in plan
+    assert plan.count("SinglePartition") == 1
