@@ -674,11 +674,15 @@ def q_pii_redact(spark, sf_dir):
 
 def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing (GPT-pretraining shape)
-    — token cumsum, bounded explode onto overlapped packs, pack_id
-    shuffle; DuckDB oracle reproduces with the same window math."""
+    — the BUCKETED two-level-scan variant (per-bucket running-sum
+    windows + broadcast base offsets; the only SinglePartition
+    exchange is the n_buckets-row subtotal frame), proven
+    output-identical to the global-window form; bounded explode onto
+    overlapped packs, pack_id shuffle; DuckDB oracle reproduces with
+    one global window (its own engine's choice)."""
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = textstats.pack_sequences(docs)
+    out = textstats.pack_sequences_bucketed(docs)
     return out.select(
         F.col("pack_id").cast("bigint").alias("pack_id"),
         F.col("n_docs").cast("int").alias("n_docs"),
