@@ -324,10 +324,24 @@ def assembled_from_paths(
     if isinstance(paths, str):
         paths = [paths]
     groups: dict[str, list[str]] = {}
+    invalid: list[str] = []
     for p in paths:
         matches = _glob.glob(p) or [p]
         for g in matches:
+            # s4 warns about unprocessable paths and continues
+            # (print_files_processpathresult); an all-invalid input
+            # set is still an error
+            if not os.path.isfile(g):
+                invalid.append(g)
+                continue
             groups.setdefault(path_to_filetype(g), []).append(g)
+    if invalid:
+        import sys as _sys
+
+        for g in invalid:
+            print(f"WARNING: not processed: {g!r}", file=_sys.stderr)
+    if not groups:
+        raise ValueError(f"no readable inputs among {paths!r}")
     parts: list[DataFrame] = []
     sel = [
         "conv_id", "turn_idx", "role", "tool", "text", "ts",

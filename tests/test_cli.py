@@ -499,3 +499,54 @@ def test_cli_tz_offset_end_to_end(tmp_path):
     # keeps only the second line
     win = run("-t=-0500", "-a", "2024-01-05T10:30:00")
     assert len(win) == 1 and win[0].endswith("second")
+
+
+def test_cli_journal_file_with_export_format(tmp_path):
+    """journalctl-over-.journal UX: a real journal file rendered with
+    --format export (the reference's JournalReader path end-to-end)."""
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        encode_journal,
+    )
+
+    (tmp_path / "sys.journal").write_bytes(
+        encode_journal(
+            [
+                {"seqnum": 1, "ts_us": 1_704_423_605_000_000,
+                 "fields": {"MESSAGE": "unit alpha started",
+                            "SYSLOG_IDENTIFIER": "alphad"}},
+                {"seqnum": 2, "ts_us": 1_704_423_606_000_000,
+                 "fields": {"MESSAGE": "unit beta started",
+                            "SYSLOG_IDENTIFIER": "betad"}},
+            ]
+        )
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "sys.journal"),
+            "--format", "export",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    text = out.stdout
+    assert "MESSAGE=unit alpha started" in text
+    assert "SYSLOG_IDENTIFIER=alphad" in text
+    assert "__REALTIME_TIMESTAMP=1704423605000000" in text
+
+
+def test_cli_invalid_path_warns_and_continues(tmp_path):
+    (tmp_path / "ok.log").write_text("2024-01-05T03:00:10 fine\n")
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "ok.log"),
+            str(tmp_path / "missing.log"),
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert len(out.stdout.strip().splitlines()) == 1
+    assert "not processed" in out.stderr
