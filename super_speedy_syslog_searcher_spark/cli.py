@@ -503,9 +503,12 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
             f"per-source cap {_SUMMARY_FILE_CAP})\n"
         )
 
+    n_invalid = getattr(args, "_n_invalid", 0)
     err.write("Program summary:\n\n")
-    err.write(f"Paths considered       : {g['convs']}\n")
-    err.write("Paths not processed    : 0\n")
+    err.write(
+        f"Paths considered       : {int(g['convs']) + n_invalid}\n"
+    )
+    err.write(f"Paths not processed    : {n_invalid}\n")
     err.write(f"Files processed        : {g['convs']}\n")
     err.write(
         f"Files printed          : {g['convs'] if printed['n'] else 0}\n"
@@ -771,11 +774,14 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.merge import merge_ordered as _mo
         from .sources.logfiles import assembled_from_paths
 
+        invalid_paths: list = []
         asm = assembled_from_paths(
-            spark, args.inputs, tz_offset_min=tzmin
+            spark, args.inputs, tz_offset_min=tzmin,
+            invalid_out=invalid_paths,
         )
         merged = _mo(_dtf(asm, a_str, b_str))
         asm_summary = asm
+        args._n_invalid = len(invalid_paths)
         t = asm.select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )

@@ -307,6 +307,7 @@ def assembled_from_paths(
     spark: SparkSession,
     paths: list[str] | str,
     tz_offset_min: int = 0,
+    invalid_out: list | None = None,
 ) -> DataFrame:
     """`s4 <paths>` parity: route each input file by type
     (path_to_filetype), run the text pipeline (encoding-aware read →
@@ -340,6 +341,8 @@ def assembled_from_paths(
 
         for g in invalid:
             print(f"WARNING: not processed: {g!r}", file=_sys.stderr)
+        if invalid_out is not None:
+            invalid_out.extend(invalid)
     if not groups:
         raise ValueError(f"no readable inputs among {paths!r}")
     parts: list[DataFrame] = []
