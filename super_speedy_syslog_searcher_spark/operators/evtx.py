@@ -235,3 +235,27 @@ def encode_evtx(records: list[dict]) -> bytes:
     struct.pack_into("<HH", hdr, 40, FILE_HEADER_SIZE, len(chunks))
     struct.pack_into("<I", hdr, 124, zlib.crc32(bytes(hdr[0:120])))
     return bytes(hdr) + b"".join(chunks)
+
+
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, "
+    "content binary"
+)
+
+
+def read_evtx_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Structured-Streaming EVTX ingestion: new .evtx files appearing
+    under ``in_dir`` decode incrementally (binaryFile file-stream →
+    the same per-file chunk walk in mapInPandas).  The stream
+    checkpoint tracks processed FILES, so a restart decodes only new
+    arrivals — the streaming analogue of EvtxReader's one-shot file
+    processing, with exactly-once file accounting for free."""
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.evtx")
+        .load(in_dir)
+    )
+    return bf.select("path", "content").mapInPandas(
+        _decode_batches, RECORDS_SCHEMA
+    )

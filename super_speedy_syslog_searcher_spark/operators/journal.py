@@ -284,3 +284,19 @@ def encode_journal(records: list[dict]) -> bytes:
         struct.pack_into("<Q", hdr, 184, int(records[0]["ts_us"]))
         struct.pack_into("<Q", hdr, 192, int(records[-1]["ts_us"]))
     return bytes(hdr) + body
+
+
+def read_journal_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Structured-Streaming journal ingestion — see
+    evtx.read_evtx_stream; same shape over the journal object walk."""
+    from .evtx import BINARYFILE_SCHEMA
+
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.journal")
+        .load(in_dir)
+    )
+    return bf.select("path", "content").mapInPandas(
+        _decode_batches, RECORDS_SCHEMA
+    )

@@ -273,3 +273,53 @@ def test_stateful_uptime_anchor_carried_across_batches(spark, tmp_path):
     assert got[2]["sink_eff"] == "dmesg_uptime"
     assert got[3]["ts_eff"] == got[2]["ts_parsed"]
     assert got[3]["msg_turn_idx"] == 2
+
+
+def test_streaming_evtx_incremental_decode(spark, tmp_path):
+    """Binary formats stream too: .evtx files arriving in a watched
+    directory decode incrementally; the checkpoint makes the restart
+    process ONLY the new file."""
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+        read_evtx_stream,
+    )
+
+    in_dir = tmp_path / "evtx_in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "evtx_out")
+    ck = str(tmp_path / "evtx_ck")
+
+    def drain():
+        q = (
+            read_evtx_stream(spark, str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base = 1_704_423_600_000_000
+    (in_dir / "a.evtx").write_bytes(
+        encode_evtx(
+            [{"record_id": i + 1, "ts_us": base + i, "payload": f"<E>{i}</E>"}
+             for i in range(20)]
+        )
+    )
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 20
+    (in_dir / "b.evtx").write_bytes(
+        encode_evtx(
+            [{"record_id": 100 + i, "ts_us": base + 50 + i,
+              "payload": "<E>late</E>"} for i in range(5)]
+        )
+    )
+    drain()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert len(got2) == 25  # only the new file decoded on restart
+    assert (
+        got2[got2["source"].str.endswith("b.evtx")]["record_id"].min()
+        == 100
+    )
