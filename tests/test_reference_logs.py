@@ -1,0 +1,90 @@
+"""Robustness over the reference's OWN real-world log corpus
+(/root/reference/logs/programs — public sample data shipped with s4;
+used here strictly as INPUT).  No oracle exists for these files, so
+the assertions are calibrated floors: known-clean formats parse at
+high rates, the overall corpus rate stays above its measured floor,
+and the end-to-end file-mode merge is globally ordered.
+"""
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+REF_LOGS = "/root/reference/logs/programs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_LOGS), reason="reference logs not available"
+)
+
+
+def _files():
+    return sorted(
+        p
+        for p in glob.glob(f"{REF_LOGS}/**/*.log", recursive=True)
+        if os.path.getsize(p) < 300_000
+    )
+
+
+def test_real_log_corpus_parse_rates(spark):
+    from super_speedy_syslog_searcher_spark.operators.parse import (
+        parse_stage,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        read_log_files_decoded,
+    )
+
+    files = _files()
+    assert len(files) >= 15
+    src = read_log_files_decoded(spark, files)
+    parsed = parse_stage(src, anchor_from_ts=True)
+    agg = {
+        r["conv_id"].rsplit("/", 1)[-1]: (r["ok"], r["lines"])
+        for r in parsed.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("lines"),
+            F.count("ts_parsed").alias("ok"),
+        )
+        .collect()
+    }
+    tot_ok = sum(a for a, _ in agg.values())
+    tot = sum(b for _, b in agg.values())
+    # measured 63.8% at round 4 — the remainder is wrapped-record
+    # continuation lines (AWS ALB), tables (cloud-init ci-info), and
+    # formats outside the reference's own DTPD table (MSI time-only)
+    assert tot_ok / tot >= 0.55, f"corpus parse rate fell: {tot_ok}/{tot}"
+    # known-clean single-format files parse fully
+    for name in (
+        "pacman.log",
+        "proftpd.log",
+        "server.log",  # flask (also AWS S3 — both ≥80%)
+        "rsyslog.1.log",
+    ):
+        ok, lines = agg[name]
+        assert ok / lines >= 0.8, (name, ok, lines)
+    # the BOM'd UTF-16 Crowdstrike sensor log decodes AND parses
+    cs = "CrowdStrike Windows Sensor_20240321000238.log"
+    ok, lines = agg[cs]
+    assert lines >= 50 and ok / lines >= 0.9, (cs, ok, lines)
+
+
+def test_real_log_corpus_merge_is_ordered(spark):
+    from super_speedy_syslog_searcher_spark.operators.merge import (
+        merge_ordered,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    files = [
+        f"{REF_LOGS}/pacman/pacman.log",
+        f"{REF_LOGS}/proftpd/proftpd.log",
+        f"{REF_LOGS}/digital-ocean-cloud-init/cloud-init.log",
+    ]
+    merged = merge_ordered(assembled_from_paths(spark, files))
+    rows = merged.select("ts_eff", "conv_id").collect()
+    ts = [r["ts_eff"] for r in rows if r["ts_eff"] is not None]
+    assert ts == sorted(ts)
+    assert len({r["conv_id"] for r in rows}) == 3
