@@ -69,20 +69,55 @@ def _cstr(arr: np.ndarray) -> pd.Series:
     )
 
 
+_UT_TYPE_MAX = 9  # ACCOUNTING
+_TV_SEC_MAX = 4_102_444_800  # year 2100
+
+
 def decode_records(
     content: bytes, dtype: np.dtype = UTMPX_DTYPE
 ) -> pd.DataFrame:
     """One file's bytes → typed record frame (single frombuffer; a
     trailing partial record is dropped like the reference's
-    entry-sized block reader)."""
+    entry-sized block reader).
+
+    Record VALIDATION mirrors the reference's layout scoring
+    (fixedstructreader.rs tries many platform layouts and accepts
+    only records that score as plausible — its expected output for
+    the corrupt ``host-entry1.wtmp`` fixture is "no valid
+    fixed-structure records"): a record is kept iff ut_type is in
+    range, tv_sec is a sane wall-clock, and the string fields are
+    properly NUL-terminated C strings (no interior NUL before
+    payload — numpy S-dtypes strip only TRAILING NULs, so an interior
+    NUL betrays a shifted/foreign layout).  All checks vectorized.
+    """
     n = len(content) // dtype.itemsize
     rec = np.frombuffer(content, dtype=dtype, count=n)
+    valid = (
+        (rec["ut_type"] >= 0)
+        & (rec["ut_type"] <= _UT_TYPE_MAX)
+        & (rec["tv_sec"] > 0)
+        & (rec["tv_sec"].astype("int64") < _TV_SEC_MAX)
+    )
+    # C-string shape check on the RAW field bytes (np.char strips
+    # trailing NULs and treats interior NULs as terminators, hiding
+    # exactly the corruption we must detect): the nonzero mask must be
+    # a prefix — once a NUL appears, everything after stays NUL
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=n * dtype.itemsize
+    ).reshape(n, dtype.itemsize)
+    for f in ("ut_line", "ut_user", "ut_host"):
+        off = dtype.fields[f][1]
+        width = dtype.fields[f][0].itemsize
+        nz = (raw[:, off : off + width] != 0).astype(np.int8)
+        valid &= np.all(nz[:, :-1] >= nz[:, 1:], axis=1)
+    rec_idx = np.arange(n, dtype="int32")[valid]
+    rec = rec[valid]
     ts_us = rec["tv_sec"].astype("int64") * 1_000_000 + rec[
         "tv_usec"
     ].astype("int64")
     return pd.DataFrame(
         {
-            "rec_idx": np.arange(n, dtype="int32"),
+            "rec_idx": rec_idx,
             "ut_type": rec["ut_type"].astype("int32"),
             "ut_pid": rec["ut_pid"].astype("int32"),
             "ut_line": _cstr(rec["ut_line"]),

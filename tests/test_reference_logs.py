@@ -88,3 +88,78 @@ def test_real_log_corpus_merge_is_ordered(spark):
     ts = [r["ts_eff"] for r in rows if r["ts_eff"] is not None]
     assert ts == sorted(ts)
     assert len({r["conv_id"] for r in rows}) == 3
+
+
+REF_ALL = "/root/reference/logs"
+
+
+def test_real_evtx_file_decodes():
+    """Genuine Windows event log from the reference corpus: 168
+    records, monotone record ids, sane 2023 timestamps; the
+    no-events file yields zero records."""
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        decode_evtx_file,
+    )
+
+    df = decode_evtx_file(
+        open(
+            f"{REF_ALL}/programs/evtx/"
+            "Microsoft-Windows-Kernel-PnP__Configuration.evtx",
+            "rb",
+        ).read()
+    )
+    assert len(df) == 168
+    assert (df["record_id"].diff().dropna() > 0).all()
+    assert str(df["ts"].min()).startswith("2023-03-10")
+    assert str(df["ts"].max()).startswith("2023-03-16")
+    empty = decode_evtx_file(
+        open(f"{REF_ALL}/programs/evtx/NoEvents.evtx", "rb").read()
+    )
+    assert len(empty) == 0
+
+
+def test_real_journal_file_decodes():
+    """Genuine systemd journal (Ubuntu 16): every entry carries a
+    MESSAGE, the hostname resolves, timestamps are sane."""
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        decode_journal_file,
+    )
+
+    df = decode_journal_file(
+        open(
+            f"{REF_ALL}/Ubuntu16/6c6ab73d82464b9493892c81fc732b3a/"
+            "system.journal",
+            "rb",
+        ).read()
+    )
+    assert len(df) == 289
+    assert (df["message"] != "").all()
+    assert set(df["hostname"]) == {"fink"}
+    assert str(df["ts"].min()).startswith("2023-12-15")
+
+
+def test_real_wtmp_fixtures_match_reference_verdicts():
+    """The reference's own utmp fixtures: the corrupt/degenerate ones
+    yield ZERO valid records (s4's expected stderr says 'no valid
+    fixed-structure records' for host-entry1.wtmp), the clean 6-entry
+    file decodes fully with correct fields."""
+    from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+        decode_records,
+    )
+
+    U = f"{REF_ALL}/programs/utmp"
+    for name in (
+        "host-entry1.wtmp",
+        "host-entry1_(all_0x00).wtmp",
+        "host-entry1_(all_0xFF).wtmp",
+        "1-byte.wtmp",
+        "empty (invalid).wtmp",
+    ):
+        assert len(decode_records(open(f"{U}/{name}", "rb").read())) == 0, name
+    df = decode_records(open(f"{U}/host-entry6.wtmp", "rb").read())
+    assert len(df) == 6
+    assert list(df["ut_user"][:2]) == ["admin", "admin"]
+    assert list(df["ut_line"]) == [
+        "pts/0", "pts/1", "pts/2", "pts/3", "pts/1", "pts/0",
+    ]
+    assert str(df["ts"].iloc[0]).startswith("2023-02-24 08:40:27")

@@ -90,8 +90,12 @@ def test_fixedstruct_roundtrip_unit():
             "tv_sec": 1704112402, "tv_usec": 16549,
         },
         {
+            # tv_sec must be a sane wall-clock: round-4 validation
+            # drops zero-timestamp records (the reference reports the
+            # all-0x00 fixture as having no valid records)
             "ut_type": 8, "ut_pid": 99, "ut_line": "tty1",
-            "ut_user": "bob", "ut_host": "", "tv_sec": 0, "tv_usec": 0,
+            "ut_user": "bob", "ut_host": "",
+            "tv_sec": 1704112500, "tv_usec": 0,
         },
     ]
     blob = encode_records(rows)
