@@ -130,10 +130,12 @@ def _frame(rec_idx, record_id, ts_us, payload, plen) -> pd.DataFrame:
 def _decode_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    from ..sources.logfiles import _decompress
+
     for pdf in batches:
         frames = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            f = decode_evtx_file(bytes(content))
+            f = decode_evtx_file(_decompress(path, bytes(content)))
             f.insert(0, "source", path)
             frames.append(f)
         if frames:

@@ -131,10 +131,12 @@ def decode_records(
 def _decode_batches(
     batches: Iterator[pd.DataFrame], dtype: np.dtype
 ) -> Iterator[pd.DataFrame]:
+    from ..sources.logfiles import _decompress
+
     for pdf in batches:
         frames = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            f = decode_records(bytes(content), dtype)
+            f = decode_records(_decompress(path, bytes(content)), dtype)
             f.insert(0, "source", path)
             frames.append(f)
         if frames:

@@ -197,10 +197,12 @@ def _frame(cols: dict[str, list]) -> pd.DataFrame:
 def _decode_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    from ..sources.logfiles import _decompress
+
     for pdf in batches:
         frames = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            f = decode_journal_file(bytes(content))
+            f = decode_journal_file(_decompress(path, bytes(content)))
             f.insert(0, "source", path)
             frames.append(f)
         if frames:

@@ -287,9 +287,22 @@ def read_log_files_decoded(
 _FIXEDSTRUCT_NAMES = ("utmp", "wtmp", "btmp", "utmpx", "wtmpx", "lastlog")
 
 
+_COMPRESSION_EXTS = (".gz", ".bz2", ".xz", ".lzma", ".lz4")
+
+
+def strip_compression(path: str) -> str:
+    """Peel compression suffixes so routing sees the inner type
+    ('system.journal.gz' routes as journal; s4 decompresses to a
+    temp file first — decompress_to_ntf — then routes the result)."""
+    low = path.lower()
+    while low.endswith(_COMPRESSION_EXTS):
+        low = low[: low.rfind(".")]
+    return low
+
+
 def path_to_filetype(path: str) -> str:
     """'evtx' | 'journal' | 'fixedstruct' | 'text'."""
-    low = path.lower()
+    low = strip_compression(path)
     if low.endswith(".evtx"):
         return "evtx"
     if low.endswith(".journal"):

@@ -163,3 +163,26 @@ def test_real_wtmp_fixtures_match_reference_verdicts():
         "pts/0", "pts/1", "pts/2", "pts/3", "pts/1", "pts/0",
     ]
     assert str(df["ts"].iloc[0]).startswith("2023-02-24 08:40:27")
+
+
+def test_real_compressed_journal_routes_and_decodes(spark):
+    """'.journal.gz' routes as journal (compression peeled like s4's
+    decompress_to_ntf), and the GENUINE RHEL-9.1 journal inside
+    decodes: 2081 entries, every one with a MESSAGE."""
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        read_journal,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        path_to_filetype,
+    )
+
+    p = f"{REF_ALL}/programs/journal/RHE_91_system.journal.gz"
+    assert path_to_filetype(p) == "journal"
+    assert path_to_filetype("x.evtx.xz") == "evtx"
+    assert path_to_filetype("wtmp.gz") == "fixedstruct"
+    assert path_to_filetype("app.log.gz") == "text"
+    df = read_journal(spark, p).toPandas()
+    assert len(df) == 2081
+    assert (df["message"] != "").all()
+    assert set(df["hostname"]) == {"drano"}
+    assert str(df["ts"].min()).startswith("2023-04-10")
