@@ -97,18 +97,31 @@ def _canonicalize(
         up = g["us_"].astype("int64") * 1_000_000 + _frac_us(g["f"])
         return pd.Series(pd.NaT, index=g.index, dtype="datetime64[ns]"), up
 
+    # epoch kinds: errors='coerce' — a digit run at the epoch
+    # pattern's edge can exceed the datetime range (found on a real
+    # log corpus); the coerced NaT falls through to later patterns
+    # exactly like an out-of-range calendar component below
     if p.kind == "epoch":
         frac_us = _frac_us(g["f"]) if "f" in g.columns else 0
         us = g["es"].astype("int64") * 1_000_000 + frac_us
-        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
+        return pd.Series(
+            pd.to_datetime(us, unit="us", errors="coerce"),
+            index=g.index,
+        ), None
 
     if p.kind == "epoch_ms":
         us = g["ems"].astype("int64") * 1_000
-        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
+        return pd.Series(
+            pd.to_datetime(us, unit="us", errors="coerce"),
+            index=g.index,
+        ), None
 
     if p.kind == "epoch_us":
         us = g["eu"].astype("int64")
-        return pd.Series(pd.to_datetime(us, unit="us"), index=g.index), None
+        return pd.Series(
+            pd.to_datetime(us, unit="us", errors="coerce"),
+            index=g.index,
+        ), None
 
     # ymd / mon_name / mdy12 / mon12 — component source is capture-
     # group-driven: 'b' = abbreviated month name, 'bf' = full month

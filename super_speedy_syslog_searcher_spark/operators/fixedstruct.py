@@ -157,8 +157,14 @@ def read_fixedstruct(
     downstream (the reference pre-sorts in FixedStructReader because
     it streams; a DataFrame sorts lazily where required).
     """
+    from ..sources.logfiles import hadoop_glob_escape
+
     dtype = LAYOUTS[layout]
-    bf = spark.read.format("binaryFile").load(paths)
+    if isinstance(paths, str):
+        paths = [paths]
+    bf = spark.read.format("binaryFile").load(
+        [hadoop_glob_escape(p) for p in paths]
+    )
     return bf.select("path", "content").mapInPandas(
         lambda it: _decode_batches(it, dtype), RECORDS_SCHEMA
     )

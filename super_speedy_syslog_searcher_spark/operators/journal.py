@@ -212,7 +212,13 @@ def _decode_batches(
 def read_journal(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """.journal files → entries DataFrame (one walk per file inside
     mapInPandas; binaryFile never splits a file)."""
-    bf = spark.read.format("binaryFile").load(paths)
+    from ..sources.logfiles import hadoop_glob_escape
+
+    if isinstance(paths, str):
+        paths = [paths]
+    bf = spark.read.format("binaryFile").load(
+        [hadoop_glob_escape(p) for p in paths]
+    )
     return bf.select("path", "content").mapInPandas(
         _decode_batches, RECORDS_SCHEMA
     )

@@ -166,6 +166,20 @@ def _decompress(path: str, data: bytes) -> bytes:
     return data
 
 
+def hadoop_glob_escape(path: str) -> str:
+    """Escape glob metacharacters in a LITERAL path for Hadoop's
+    GlobFilter (binaryFile/text .load treat paths as glob patterns —
+    a real file named 'entry6_1_(b1_xz).wtmp.tar' or 'a[4-0].log'
+    otherwise errors or silently matches nothing)."""
+    out = []
+    for c in path:
+        if c in '*?[]{}\\':
+            out.append('\\' + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def read_log_files_decoded(
     spark: SparkSession,
     paths: list[str] | str,
@@ -189,7 +203,11 @@ def read_log_files_decoded(
     """
     import pandas as pd
 
-    bf = spark.read.format("binaryFile").load(paths)
+    if isinstance(paths, str):
+        paths = [paths]
+    bf = spark.read.format("binaryFile").load(
+        [hadoop_glob_escape(p) for p in paths]
+    )
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
@@ -234,31 +252,28 @@ def read_log_files_decoded(
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
-                if path.endswith((".tar", ".tar.gz", ".tgz")):
-                    # archive members become independent sources
-                    # ('file.tar!member', process_path_tar parity —
-                    # filepreprocessor.rs:1205; each member keeps its
-                    # own mtime like the reference's tar entries)
-                    import io
-                    import tarfile
+                # file-level fault isolation: ONE undecodable file
+                # (missing codec lib, truncated archive, corrupt
+                # stream) must never kill the job — s4 records a
+                # per-file processing error and moves on
+                # (syslogprocessor FileErr*; our --summary reports it
+                # via the absent source)
+                try:
+                    # real filesystems carry ns mtimes; Spark
+                    # timestamps are µs and the ns→µs Arrow cast is
+                    # "unsafe" — truncate up front
+                    if mtime is not None and not pd.isna(mtime):
+                        mtime = pd.Timestamp(mtime).floor("us")
+                    _decode_one(emit, path, mtime, content)
+                except Exception as ex:  # noqa: BLE001
+                    import sys as _sys
 
-                    raw = bytes(content)
-                    if path.endswith((".tar.gz", ".tgz")):
-                        raw = gzip.decompress(raw)
-                    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
-                        for m in tf.getmembers():
-                            if not m.isfile():
-                                continue
-                            mdata = _decompress(
-                                m.name, tf.extractfile(m).read()
-                            )
-                            emit(
-                                f"{path}!{m.name}",
-                                pd.Timestamp(m.mtime, unit="s"),
-                                mdata,
-                            )
+                    print(
+                        f"WARNING: failed to decode {path!r}: "
+                        f"{type(ex).__name__}: {ex}",
+                        file=_sys.stderr,
+                    )
                     continue
-                emit(path, mtime, _decompress(path, bytes(content)))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
             else:
@@ -272,6 +287,38 @@ def read_log_files_decoded(
                         "ts": pd.Series(dtype="datetime64[ns]"),
                     }
                 )
+
+    def _decode_one(emit, path, mtime, content):
+        if path.endswith((".tar", ".tar.gz", ".tgz")):
+            # archive members become independent sources
+            # ('file.tar!member', process_path_tar parity —
+            # filepreprocessor.rs:1205; each member keeps its
+            # own mtime like the reference's tar entries)
+            import io
+            import tarfile
+
+            raw = bytes(content)
+            if path.endswith((".tar.gz", ".tgz")):
+                raw = gzip.decompress(raw)
+            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    mdata = _decompress(
+                        m.name, tf.extractfile(m).read()
+                    )
+                    emit(
+                        f"{path}!{m.name}",
+                        # member mtimes can be FLOAT seconds with an
+                        # ns remainder (pax headers) — floor to µs and
+                        # pin UTC so frames never mix naive/aware
+                        pd.Timestamp(
+                            m.mtime, unit="s", tz="UTC"
+                        ).floor("us"),
+                        mdata,
+                    )
+            return
+        emit(path, mtime, _decompress(path, bytes(content)))
 
     return (
         bf.select("path", "modificationTime", "content")
