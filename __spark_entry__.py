@@ -1028,7 +1028,7 @@ oo AS (
 SELECT e.conv_id,
        CAST(count(*) AS BIGINT) AS turns,
        CAST(count(e._ts_parsed) AS BIGINT) AS syslines,
-       CAST(max(length(e.text)) AS INT) AS longest_line,
+       CAST(max(octet_length(encode(e.text))) AS INT) AS longest_line,
        min(e._ts_parsed) AS dt_first,
        max(e._ts_parsed) AS dt_last,
        CAST(coalesce(o.ooo, 0) AS BIGINT) AS out_of_order
@@ -1050,7 +1050,7 @@ GROUP BY 1, 2""",
         "global_summary": f"""{b}
 SELECT CAST(count(*) AS BIGINT) AS rows_total,
        CAST(count(_ts_parsed) AS BIGINT) AS syslines_total,
-       CAST(sum(length(text)) AS BIGINT) AS bytes_texts,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_texts,
        min(ts_eff) AS dt_first,
        max(ts_eff) AS dt_last,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS convs

@@ -72,19 +72,17 @@ def run(spark, sf_dir: str, repl: int) -> dict:
     )
     _noop_write(P.parse_repair(t.limit(2000)))
 
-    timings: dict[str, float] = {}
-    # min-of-3 by default: ambient throughput on this sandbox drifts
-    # ~2x on minute timescales, and 2 reps still leaves bad draws
+    # Estimator (round-4 verdict): ambient throughput on this sandbox
+    # drifts ~2x on MINUTE timescales, so timing query A's reps
+    # back-to-back and then query B's gives each query a different
+    # slice of the drift — r4 recorded a phantom 2.5x "regression"
+    # that an immediate rerun disproved.  Instead, run REPS
+    # interleaved rounds (each round times every query once, in suite
+    # order) and report the per-query MEDIAN across rounds: every
+    # query samples the same drift windows, and the median rejects
+    # one bad draw.  Per-round raw times are emitted in the JSON
+    # ("rounds") so a reader can see the spread.
     reps = int(os.environ.get("S4SPARK_BENCH_REPS", "3"))
-
-    def timed(name, fn):
-        fn()  # untimed warmup: JIT-compile this plan's codegen stages
-        best = float("inf")
-        for _ in range(reps):  # min-of-N: GC noise swamps single runs
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
 
     # headline: parse → repair → assemble → dt-filter → global merge
     def _run_merge(freeze: bool = False):
@@ -116,15 +114,15 @@ def run(spark, sf_dir: str, repl: int) -> dict:
             P.assembled(t, narrow=True), DT_AFTER, DT_BEFORE
         ).count(),
     }
-    for name, fn in suite.items():
-        if only and name not in only.split(","):
-            continue
-        timed(name, fn)
-    t.unpersist()
+    if only:
+        suite = {
+            k: v for k, v in suite.items() if k in only.split(",")
+        }
     # second scale point (round-3 verdict: record the headline at BOTH
     # 1M and 5M turns so round-over-round deltas stop mixing scale
     # with speed).  repl//5 → 1M turns at the default sf0.1/repl=50.
     n_turns_small = None
+    t2 = None
     if not only and repl >= 5:
         t2 = replicated_transcripts(spark, sf_dir, repl // 5).cache()
         n_turns_small = t2.count()
@@ -135,12 +133,57 @@ def run(spark, sf_dir: str, repl: int) -> dict:
             for s in stg:
                 s.unpersist(blocking=True)
 
-        timed("parse_merge_1m", _run_merge_small)
+        suite["parse_merge_1m"] = _run_merge_small
+
+    # warmup round: JIT-compile each plan's codegen stages, untimed
+    for fn in suite.values():
+        fn()
+    rounds: dict[str, list[float]] = {name: [] for name in suite}
+    for _ in range(reps):
+        for name, fn in suite.items():
+            t0 = time.perf_counter()
+            fn()
+            rounds[name].append(round(time.perf_counter() - t0, 3))
+    import statistics
+
+    timings = {
+        name: round(statistics.median(v), 3)
+        for name, v in rounds.items()
+    }
+    t.unpersist()
+    if t2 is not None:
         t2.unpersist()
+
+    # third scale point (round-4 verdict item 8): the headline at
+    # 50M turns (repl x10), where per-row cost dominates constant
+    # overhead and minute-scale drift averages out over the longer
+    # run.  One timed run (the plan is already JIT-warm); opt out
+    # with S4SPARK_BENCH_BIG=0.
+    n_turns_big = None
+    if (
+        not only
+        and repl >= 5
+        and os.environ.get("S4SPARK_BENCH_BIG", "1") != "0"
+    ):
+        t3 = replicated_transcripts(spark, sf_dir, repl * 10).cache()
+        n_turns_big = t3.count()
+
+        def _run_merge_big():
+            stg: list = []
+            _noop_write(P.full_merge(t3, DT_AFTER, DT_BEFORE, staging=stg))
+            for s in stg:
+                s.unpersist(blocking=True)
+
+        t0 = time.perf_counter()
+        _run_merge_big()
+        timings["parse_merge_50m"] = round(time.perf_counter() - t0, 3)
+        t3.unpersist()
     return {
         "n_turns": n_turns,
         "n_turns_small": n_turns_small,
+        "n_turns_big": n_turns_big,
         "timings": timings,
+        "rounds": rounds,
     }
 
 
@@ -166,6 +209,8 @@ def main() -> None:
         "value": round(res["timings"][head], 3),
         "unit": "sec",
         "queries": res["timings"],
+        "estimator": "median of interleaved rounds (see rounds)",
+        "rounds": res["rounds"],
         "sf": sf_dir,
         "n_turns": res["n_turns"],
         "turns_per_sec": round(tput),
@@ -176,6 +221,11 @@ def main() -> None:
         out["n_turns_small"] = res["n_turns_small"]
         out["turns_per_sec_1m"] = round(
             res["n_turns_small"] / res["timings"]["parse_merge_1m"]
+        )
+    if res.get("n_turns_big") and "parse_merge_50m" in res["timings"]:
+        out["n_turns_big"] = res["n_turns_big"]
+        out["turns_per_sec_50m"] = round(
+            res["n_turns_big"] / res["timings"]["parse_merge_50m"]
         )
     spark.stop()
     print(json.dumps(out))

@@ -346,7 +346,9 @@ def _drain(lines, limit: int) -> dict:
         line = row["line"]
         w(line + "\n")
         st["n"] += 1
-        st["bytes"] += len(line) + 1
+        # SummaryPrinted counts OUTPUT bytes (summary.rs:163-189), so
+        # encoded UTF-8 length, not Python characters
+        st["bytes"] += len(line.encode("utf-8")) + 1
         ts = row["ts_eff"]
         if ts is not None:
             st["syslines"] += 1
@@ -361,7 +363,7 @@ _SUMMARY_FILE_CAP = 20  # human-facing cap on per-source blocks
 
 
 def _maybe_summary(args, t, printed: dict, after=None, before=None,
-                   t0: float = 0.0, asm=None) -> None:
+                   t0: float = 0.0, asm=None, tzmin: int = 0) -> None:
     """--summary parity (printer/summary.rs:864-990 print_summary,
     :1279-1515 per-file Processed/Parsers blocks, :163-189
     SummaryPrinted): per-source About/Processed/Parsers sections for
@@ -389,7 +391,7 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
         parsed = asm.select(
             "conv_id",
             "ts",
-            F.length("text").cast("int").alias("text_len"),
+            F.octet_length("text").cast("int").alias("text_len"),
             F.when(is_anchor, F.col("ts_eff")).alias("ts_parsed"),
             F.when(
                 is_anchor & (F.col("sink_eff") != "continuation"),
@@ -397,7 +399,10 @@ def _maybe_summary(args, t, printed: dict, after=None, before=None,
             ).alias("sink_name"),
         )
     else:
-        parsed = P.parse_repair(t, narrow=True)
+        # thread the job's default tz offset through so summary
+        # dt_first/dt_last agree with the rows full_merge emitted
+        # (which parse with tz_offset_min=tzmin) on non-UTC machines
+        parsed = P.parse_repair(t, narrow=True, tz_offset_min=tzmin)
     parsed.persist()
     try:
         per_conv = (
@@ -775,10 +780,17 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.logfiles import assembled_from_paths
 
         invalid_paths: list = []
-        asm = assembled_from_paths(
-            spark, args.inputs, tz_offset_min=tzmin,
-            invalid_out=invalid_paths,
-        )
+        try:
+            asm = assembled_from_paths(
+                spark, args.inputs, tz_offset_min=tzmin,
+                invalid_out=invalid_paths,
+            )
+        except ValueError as exc:
+            # s4 exits cleanly (nonzero) when no input is processable
+            # (print_files_processpathresult → exit), not a traceback
+            print(f"ERROR: {exc}", file=sys.stderr)
+            spark.stop()
+            return 1
         merged = _mo(_dtf(asm, a_str, b_str))
         asm_summary = asm
         args._n_invalid = len(invalid_paths)
@@ -807,7 +819,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         st = _drain(lines, args.limit)
         # --summary works with jsonl too
-        _maybe_summary(args, t, st, after, before, t0, asm_summary)
+        _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
         spark.stop()
         return 0
     if args.out_format in _JOURNAL_FORMATS:
@@ -816,7 +828,7 @@ def main(argv: list[str] | None = None) -> int:
             "ts_eff",
         )
         st = _drain(lines, args.limit)
-        _maybe_summary(args, t, st, after, before, t0, asm_summary)
+        _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
         spark.stop()
         return 0
     out = F.col("text")
@@ -875,7 +887,7 @@ def main(argv: list[str] | None = None) -> int:
         out = F.concat(stamp, F.lit(psep), out)
     lines = merged.select(out.alias("line"), "ts_eff")
     st = _drain(lines, args.limit)
-    _maybe_summary(args, t, st, after, before, t0, asm_summary)
+    _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
     spark.stop()
     return 0
 

@@ -261,7 +261,13 @@ def read_evtx_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     bf = (
         spark.readStream.format("binaryFile")
         .schema(BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.evtx")
+        # batch routing accepts compressed variants (.evtx.xz etc.;
+        # _decode_batches decompresses by extension) — the stream
+        # glob must match them too
+        .option(
+            "pathGlobFilter",
+            "*.evtx{,.gz,.bz2,.xz,.lzma,.lz4}",
+        )
         .load(in_dir)
     )
     return bf.select("path", "content").mapInPandas(

@@ -302,7 +302,12 @@ def read_journal_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     bf = (
         spark.readStream.format("binaryFile")
         .schema(BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.journal")
+        # match compressed variants like batch routing does
+        # (.journal.gz decompresses inside _decode_batches)
+        .option(
+            "pathGlobFilter",
+            "*.journal{,.gz,.bz2,.xz,.lzma,.lz4}",
+        )
         .load(in_dir)
     )
     return bf.select("path", "content").mapInPandas(

@@ -92,7 +92,7 @@ def conv_summary(parsed: DataFrame) -> DataFrame:
     length_expr = (
         F.col("text_len")
         if "text_len" in parsed.columns
-        else F.length("text")
+        else F.octet_length("text")
     )
     return (
         parsed.withColumn("_ooo", ooo)
@@ -113,7 +113,7 @@ def global_summary(assembled: DataFrame) -> DataFrame:
     length_expr = (
         F.col("text_len")
         if "text_len" in assembled.columns
-        else F.length("text")
+        else F.octet_length("text")
     )
     return assembled.agg(
         F.count("*").alias("rows_total"),

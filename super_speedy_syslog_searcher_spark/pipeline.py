@@ -52,7 +52,7 @@ def parse_repair(
         tz_offset_min=tz_offset_min,
     )
     if narrow:
-        p = p.withColumn("text_len", F.length("text").cast("int")).drop(
+        p = p.withColumn("text_len", F.octet_length("text").cast("int")).drop(
             "text"
         )
     return repair_stage(p)

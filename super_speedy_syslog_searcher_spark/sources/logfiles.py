@@ -201,13 +201,23 @@ def read_log_files_decoded(
     Output shape == read_log_files == transcripts: the whole pipeline
     runs unchanged on the result.
     """
-    import pandas as pd
-
     if isinstance(paths, str):
         paths = [paths]
     bf = spark.read.format("binaryFile").load(
         [hadoop_glob_escape(p) for p in paths]
     )
+    return decode_text_binary_df(bf, charset=charset)
+
+
+def decode_text_binary_df(
+    bf: DataFrame, charset: str | None = None
+) -> DataFrame:
+    """The decode stage of ``read_log_files_decoded`` over an
+    existing (path, modificationTime, content) DataFrame — lets tar
+    member rows (``read_tar_members``) flow through the identical
+    text pipeline as directly-loaded files."""
+    import pandas as pd
+
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
@@ -348,8 +358,13 @@ def strip_compression(path: str) -> str:
 
 
 def path_to_filetype(path: str) -> str:
-    """'evtx' | 'journal' | 'fixedstruct' | 'text'."""
+    """'tar' | 'evtx' | 'journal' | 'fixedstruct' | 'text'."""
     low = strip_compression(path)
+    if low.endswith(".tar") or low.endswith(".tgz"):
+        # archives route per-MEMBER (filepreprocessor.rs:1205-1260
+        # routes each tar entry by its own inner type); the outer
+        # 'tar' type tells assembled_from_paths to explode first
+        return "tar"
     if low.endswith(".evtx"):
         return "evtx"
     if low.endswith(".journal"):
@@ -361,6 +376,97 @@ def path_to_filetype(path: str) -> str:
     ):
         return "fixedstruct"
     return "text"
+
+
+def tar_member_types(path: str) -> set[str]:
+    """Driver-side header scan of a local tar: the set of inner file
+    types present (member payloads are NOT read — tarfile walks the
+    512-byte headers only).  Lets assembled_from_paths build exactly
+    the per-type decode branches a given archive needs."""
+    import tarfile
+
+    types: set[str] = set()
+    with tarfile.open(path, "r:*") as tf:
+        for m in tf.getmembers():
+            if m.isfile():
+                types.add(path_to_filetype(m.name))
+    return types
+
+
+def read_tar_members(
+    spark: SparkSession,
+    tar_paths: list[str],
+    types: set[str] | None = None,
+) -> DataFrame:
+    """Explode tar archives (.tar / .tar.gz / .tgz / .tar.bz2 /
+    .tar.xz) into one row per member file — (path='tar!member',
+    modificationTime, content) — executor-side, one archive per
+    mapInPandas row (binaryFile never splits a file, matching s4's
+    one-reader-per-archive model in process_path_tar,
+    filepreprocessor.rs:1205-1260).
+
+    ``types`` restricts extraction to members of those inner file
+    types (path_to_filetype on the member name), so a branch that
+    only needs the .evtx members of a mixed archive skips the byte
+    copy of everything else.  Member bytes stay RAW (a .log.gz
+    member keeps its gzip framing) — every downstream decoder
+    already decompresses by path suffix."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(
+        [hadoop_glob_escape(p) for p in tar_paths]
+    )
+    schema = "path string, modificationTime timestamp, content binary"
+
+    def explode(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # per-archive fault isolation (same contract as the
+                # text decode): one unreadable archive warns + skips
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                    ) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            if (
+                                types
+                                and path_to_filetype(m.name)
+                                not in types
+                            ):
+                                continue
+                            rows.append(
+                                (
+                                    f"{path}!{m.name}",
+                                    # pax headers can carry float
+                                    # mtimes — floor to µs, pin UTC
+                                    pd.Timestamp(
+                                        m.mtime, unit="s", tz="UTC"
+                                    ).floor("us"),
+                                    tf.extractfile(m).read(),
+                                )
+                            )
+                except Exception as ex:  # noqa: BLE001
+                    import sys as _sys
+
+                    print(
+                        f"WARNING: failed to read archive {path!r}: "
+                        f"{type(ex).__name__}: {ex}",
+                        file=_sys.stderr,
+                    )
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["path", "modificationTime", "content"]
+            )
+
+    return bf.select("path", "modificationTime", "content").mapInPandas(
+        explode, schema
+    )
 
 
 def assembled_from_paths(
@@ -389,9 +495,24 @@ def assembled_from_paths(
     for p in paths:
         matches = _glob.glob(p) or [p]
         for g in matches:
-            # s4 warns about unprocessable paths and continues
+            # s4 recursively walks directory inputs
+            # (filepreprocessor.rs process_path) and warns about
+            # unprocessable paths, continuing
             # (print_files_processpathresult); an all-invalid input
             # set is still an error
+            if os.path.isdir(g):
+                found = False
+                for root, _dirs, files in os.walk(g):
+                    for fn in sorted(files):
+                        fp = os.path.join(root, fn)
+                        if os.path.isfile(fp):
+                            found = True
+                            groups.setdefault(
+                                path_to_filetype(fp), []
+                            ).append(fp)
+                if not found:
+                    invalid.append(g)
+                continue
             if not os.path.isfile(g):
                 invalid.append(g)
                 continue
@@ -403,23 +524,77 @@ def assembled_from_paths(
             print(f"WARNING: not processed: {g!r}", file=_sys.stderr)
         if invalid_out is not None:
             invalid_out.extend(invalid)
-    if not groups:
+    # archives: scan headers driver-side, then fan each archive's
+    # members into the decode branch of their INNER type — a wtmp or
+    # .evtx member inside a .tar must reach its binary reader, not
+    # the text parser (filepreprocessor.rs:1205-1260 routes each tar
+    # entry by its own filetype)
+    tar_types: dict[str, set[str]] = {}
+    for tp in groups.pop("tar", []):
+        try:
+            tar_types[tp] = tar_member_types(tp)
+        except Exception as ex:  # noqa: BLE001
+            import sys as _sys
+
+            print(
+                f"WARNING: failed to read archive {tp!r}: "
+                f"{type(ex).__name__}: {ex}",
+                file=_sys.stderr,
+            )
+
+    def tars_with(t: str) -> list[str]:
+        return [p for p, ts in tar_types.items() if t in ts]
+
+    def members_of(t: str) -> DataFrame:
+        return read_tar_members(spark, tars_with(t), types={t})
+
+    if not groups and not any(tar_types.values()):
         raise ValueError(f"no readable inputs among {paths!r}")
     parts: list[DataFrame] = []
     sel = [
         "conv_id", "turn_idx", "role", "tool", "text", "ts",
         "ts_eff", "sink_eff", "msg_turn_idx",
     ]
+    text_lines: list[DataFrame] = []
     if "text" in groups:
-        asm = P.assembled_files(
-            read_log_files_decoded(spark, groups["text"]),
-            tz_offset_min=tz_offset_min,
+        text_lines.append(
+            read_log_files_decoded(spark, groups["text"])
         )
+    if tars_with("text"):
+        text_lines.append(decode_text_binary_df(members_of("text")))
+    if text_lines:
+        lines = text_lines[0]
+        for x in text_lines[1:]:
+            lines = lines.unionByName(x)
+        asm = P.assembled_files(lines, tz_offset_min=tz_offset_min)
         parts.append(asm.select(*sel))
-    if "evtx" in groups:
-        from ..operators.evtx import read_evtx
 
-        ev = read_evtx(spark, groups["evtx"])
+    def binary_records(t: str, reader, decode_batches, schema):
+        recs: list[DataFrame] = []
+        if t in groups:
+            recs.append(reader(spark, groups[t]))
+        if tars_with(t):
+            recs.append(
+                members_of(t)
+                .select("path", "content")
+                .mapInPandas(decode_batches, schema)
+            )
+        if not recs:
+            return None
+        out = recs[0]
+        for x in recs[1:]:
+            out = out.unionByName(x)
+        return out
+
+    from ..operators import evtx as _evtx
+    from ..operators import fixedstruct as _fx
+    from ..operators import journal as _jr
+
+    ev = binary_records(
+        "evtx", _evtx.read_evtx, _evtx._decode_batches,
+        _evtx.RECORDS_SCHEMA,
+    )
+    if ev is not None:
         parts.append(
             ev.select(
                 F.col("source").alias("conv_id"),
@@ -433,10 +608,11 @@ def assembled_from_paths(
                 F.col("rec_idx").cast("int").alias("msg_turn_idx"),
             )
         )
-    if "journal" in groups:
-        from ..operators.journal import read_journal
-
-        jr = read_journal(spark, groups["journal"])
+    jr = binary_records(
+        "journal", _jr.read_journal, _jr._decode_batches,
+        _jr.RECORDS_SCHEMA,
+    )
+    if jr is not None:
         parts.append(
             jr.select(
                 F.col("source").alias("conv_id"),
@@ -452,10 +628,13 @@ def assembled_from_paths(
                 F.col("rec_idx").cast("int").alias("msg_turn_idx"),
             )
         )
-    if "fixedstruct" in groups:
-        from ..operators.fixedstruct import read_fixedstruct
-
-        fx = read_fixedstruct(spark, groups["fixedstruct"])
+    fx_dtype = _fx.LAYOUTS["utmpx_linux_x86_64"]
+    fx = binary_records(
+        "fixedstruct", _fx.read_fixedstruct,
+        lambda it: _fx._decode_batches(it, fx_dtype),
+        _fx.RECORDS_SCHEMA,
+    )
+    if fx is not None:
         parts.append(
             fx.select(
                 F.col("source").alias("conv_id"),

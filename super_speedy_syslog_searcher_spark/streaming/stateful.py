@@ -13,16 +13,23 @@ Arrival-order contract: within a conversation, turns must arrive in
 turn_idx order across micro-batches (true for append-only transcript
 logs; the file-stream test feeds batches split on turn ranges).
 
-Scope: equals batch parse+assemble exactly, INCLUDING uptime repair
-(tests + the streaming_assembly oracle): the conversation's boot
-anchor (wall-clock at uptime zero) is computed from the FIRST
-uptime-bearing row — boot_us = row.ts_us − row.uptime_us, the
-streaming form of repair.anchor_uptime's conv-global
-max(ts) − max(uptime), identical whenever a file's uptime values are
-consistent with its timestamps — and carried in the same per-conv
-state, so later dmesg rows (any micro-batch) resolve to absolute
-time the moment they arrive.  Year-rollover repair remains
-batch-only (it needs the conversation's full ordered span).
+Scope: equals batch parse+assemble, INCLUDING uptime repair, for
+corpora whose per-row ts tracks uptime (the transcripts corpus and
+the streaming_assembly oracle): the conversation's boot anchor
+(wall-clock at uptime zero) is computed from the FIRST
+uptime-bearing row — boot_us = row.ts_us − row.uptime_us — and
+carried in per-conv state, so later dmesg rows (any micro-batch)
+resolve to absolute time the moment they arrive.  Batch
+repair.anchor_uptime instead uses max(ts) − max(uptime) over the
+whole conversation; the two anchors coincide exactly when
+ts − uptime is constant per conversation, and differ by
+(max_uptime − first_uptime) when ts is a constant per-file stand-in
+(e.g. file mtime).  A streaming operator cannot adopt the max-based
+anchor without retroactively rewriting rows it already emitted, so
+the first-row anchor — what the reference's own single-pass
+accretion does (syslogprocessor.rs:740-810) — is the semantics
+here.  Year-rollover repair remains batch-only (it needs the
+conversation's full ordered span).
 """
 
 from __future__ import annotations

@@ -550,3 +550,20 @@ def test_cli_invalid_path_warns_and_continues(tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     assert len(out.stdout.strip().splitlines()) == 1
     assert "not processed" in out.stderr
+
+
+def test_cli_all_invalid_inputs_clean_error(tmp_path):
+    # every input unreadable → one-line ERROR + nonzero exit, no
+    # traceback (s4 exits cleanly when nothing is processable)
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "missing-a.log"),
+            str(tmp_path / "missing-b.log"),
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 1
+    assert "ERROR:" in out.stderr
+    assert "Traceback" not in out.stderr

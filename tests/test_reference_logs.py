@@ -232,3 +232,28 @@ def test_whole_corpus_end_to_end(spark):
     assert r["files"] >= 1000
     assert r["lines"] >= 100_000
     assert r["ok"] / r["lines"] >= 0.8
+
+
+def test_reference_mixed_wtmp_tar_decodes_members(spark):
+    """The reference corpus's own multi-member wtmp archives: s4's
+    expected output for these files is a processing ERROR ('streamed
+    block 0 was previously dropped', tools/compare-current-and-
+    expected/logs/programs/utmp/host-entry6_1_(b1).wtmp.tar.stderr) —
+    two readers contend for the same archive stream.  The Spark
+    member fan-out decodes each member independently: the clean
+    host-entry6.wtmp member yields its 6 valid records, the
+    intentionally-corrupt host-entry1.wtmp member validates to zero
+    records (same verdict as the standalone file)."""
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    p = "/root/reference/logs/programs/utmp/host-entry6_1_(b1).wtmp.tar"
+    asm = assembled_from_paths(spark, [p])
+    rows = asm.collect()
+    members = {}
+    for r in rows:
+        members.setdefault(r.conv_id.split("!", 1)[1], []).append(r)
+    assert set(members) == {"host-entry6.wtmp"}
+    assert len(members["host-entry6.wtmp"]) == 6
+    assert all(r.sink_eff == "utmpx" for r in rows)

@@ -236,3 +236,110 @@ def test_pack_sequences_bounded_explode(spark):
     plan = plans.explain_str(textstats.pack_sequences(docs))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Generate" in plan and "HashAggregate" in plan
+
+
+def test_assembled_from_paths_recurses_directories(spark, tmp_path):
+    # s4 walks directory inputs recursively (filepreprocessor.rs
+    # process_path); a dir argument must pick up files at any depth
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    (tmp_path / "top.log").write_text("2024-01-05T03:00:10 top\n")
+    sub = tmp_path / "nested" / "deeper"
+    sub.mkdir(parents=True)
+    (sub / "deep.log").write_text("2024-01-05T03:00:11 deep\n")
+    asm = assembled_from_paths(spark, [str(tmp_path)])
+    texts = sorted(r.text for r in asm.select("text").collect())
+    assert texts == [
+        "2024-01-05T03:00:10 top",
+        "2024-01-05T03:00:11 deep",
+    ]
+
+
+def test_assembled_from_paths_empty_dir_invalid(spark, tmp_path):
+    import pytest as _pytest
+
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError):
+        assembled_from_paths(spark, [str(empty)])
+
+
+def test_tar_binary_members_route_by_inner_type(spark, tmp_path):
+    """A wtmp / .evtx / .journal member inside a .tar must reach its
+    binary reader, not the text parser (filepreprocessor.rs:1205-1260
+    routes each archive entry by its own inner filetype)."""
+    import tarfile
+
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+    )
+    from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+        encode_records,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    base = 1_704_423_600_000_000  # 2024-01-05T03:00:00Z µs
+    payloads = {
+        "app.log": (
+            b"2024-01-05T03:00:10 tar text line\n"
+            b"    continuation line\n"
+        ),
+        "inner.log.gz": gzip.compress(
+            b"2024-01-05T03:00:25 gz member line\n"
+        ),
+        "events.evtx": encode_evtx(
+            [
+                {"record_id": 1, "ts_us": base + 5_000_000,
+                 "payload": "<Event>tar evtx</Event>"},
+            ]
+        ),
+        "wtmp": encode_records(
+            [
+                {"ut_user": "root", "ut_line": "pts/9",
+                 "ut_host": "tarbox",
+                 "tv_sec": base // 1_000_000 + 50, "tv_usec": 0},
+            ]
+        ),
+    }
+    tar_path = tmp_path / "mixed.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        import io
+        import time
+
+        for name, data in payloads.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = int(time.time())
+            tf.addfile(info, io.BytesIO(data))
+
+    asm = assembled_from_paths(spark, [str(tar_path)])
+    rows = asm.collect()
+    by_member = {}
+    for r in rows:
+        member = r.conv_id.split("!", 1)[1]
+        by_member.setdefault(member, []).append(r)
+    assert set(by_member) == {
+        "app.log", "inner.log.gz", "events.evtx", "wtmp",
+    }
+    # binary members decoded as records, not text lines
+    (ev,) = by_member["events.evtx"]
+    assert ev.sink_eff == "evtx" and "tar evtx" in ev.text
+    (wt,) = by_member["wtmp"]
+    assert wt.sink_eff == "utmpx" and "root pts/9 tarbox" in wt.text
+    # text members still run the full parse pipeline (continuation
+    # attaches to its anchor)
+    logs = sorted(by_member["app.log"], key=lambda r: r.turn_idx)
+    assert [r.sink_eff for r in logs] == [
+        "iso8601_notz", "iso8601_notz",
+    ]
+    assert logs[1].msg_turn_idx == logs[0].turn_idx
+    (gz,) = by_member["inner.log.gz"]
+    assert "gz member line" in gz.text
