@@ -1212,7 +1212,7 @@ SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5""",
         "ann_ivf_topk": f"""WITH {_ANN_NORM_CTE},
-sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM n)),
 sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
         list_sum(list_transform(list_zip(n.embedding, sd.sv),
               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore
@@ -1220,7 +1220,7 @@ sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
 rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, seed_id) AS rn FROM sc),
 bkt AS (SELECT vec_id, embedding, nrm, seed_id AS bucket FROM rk WHERE rn = 1),
 pe AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pn, seed_id AS qbucket
-       FROM rk WHERE vec_id < 10 AND rn <= 3),
+       FROM rk WHERE vec_id < 10 AND rn <= (SELECT CAST(ceil(3.0 * greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) / 16) AS BIGINT) FROM n)),
 s AS (SELECT probe_id, b.vec_id AS nbr_id,
         round(list_sum(list_transform(list_zip(pv, b.embedding),
               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (pn * b.nrm), 4) AS cosine
@@ -1238,7 +1238,7 @@ FROM r WHERE rank <= 5""",
 n AS (SELECT vec_id, embedding,
   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM aug),
-sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM n)),
 sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
         list_sum(list_transform(list_zip(n.embedding, sd.sv),
               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore
@@ -1327,7 +1327,7 @@ FROM e GROUP BY 1""",
 n AS (SELECT vec_id, embedding,
   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM aug),
-sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < 16),
+sd AS (SELECT vec_id AS seed_id, embedding AS sv, nrm AS snorm FROM n WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM n)),
 sc AS (SELECT n.vec_id, n.embedding, n.nrm, sd.seed_id,
         list_sum(list_transform(list_zip(n.embedding, sd.sv),
               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / sd.snorm AS sscore

@@ -19,11 +19,35 @@ All math is built-in (zip_with + aggregate) — JVM-side, no UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-K_SEEDS = 16  # coarse-quantizer cells (first K vectors = centroids)
-NPROBE_CELLS = 3  # cells searched per probe
+K_SEEDS = 16  # codebook floor (first K vectors = centroids)
+NPROBE_CELLS = 3  # cells searched per probe at the K_SEEDS floor
+
+
+def default_k_seeds(n: int) -> int:
+    """Codebook size as a function of corpus size: ceil(sqrt(n)),
+    floored at K_SEEDS.  With k = sqrt(n) cells the expected cell
+    occupancy is sqrt(n) and the same-cell candidate-pair volume of
+    embedding_near_dups is O(n^1.5) total — bounded per cell — where
+    a FIXED codebook degrades to O(n^2 / k) (the round-4 scale
+    finding).  Both engines must derive the identical k, so the
+    formula is plain IEEE-double ceil(sqrt(n)) (DuckDB:
+    ``greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))``)."""
+    return max(K_SEEDS, math.ceil(math.sqrt(n)))
+
+
+def default_nprobe(k_seeds: int) -> int:
+    """Probe width scaling with the codebook: ceil(3k/16) keeps the
+    scanned fraction of the corpus at the measured-recall operating
+    point (3 of 16 cells ≈ 19%) as k grows — on near-uniform
+    embeddings recall is a function of the scanned fraction, so this
+    holds recall@5 ≈ 0.9 while per-probe work drops from O(n) to
+    O(sqrt(n)) rows per cell."""
+    return math.ceil(3 * k_seeds / 16)
 
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
 NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
@@ -78,14 +102,17 @@ def cosine_topk(
 
 def seed_scores(emb: DataFrame, k_seeds: int = None) -> DataFrame:
     """Cosine-to-centroid scores (vec_id, embedding, _norm, seed_id,
-    sscore).  Centroids are the first K_SEEDS vectors of the table —
+    sscore).  Centroids are the first k_seeds vectors of the table —
     deterministic, data-dependent (the "hash-seeded centroids" form of
     an IVF codebook; a k-means refinement would only move the seeds,
-    not the plan shape).  The seed side is 16 rows → broadcast join;
-    the /|v| factor is constant per vector so argmax works on
+    not the plan shape).  k_seeds defaults to ceil(sqrt(n))
+    (default_k_seeds; the count is a metadata-only scan on a
+    parquet/Iceberg table).  The seed side is O(sqrt(n)) rows →
+    broadcast join even at 10^12 vectors (10^6 seed rows ≈ tens of
+    MB); the /|v| factor is constant per vector so argmax works on
     dot/|seed| alone.
     """
-    k_seeds = k_seeds or K_SEEDS
+    k_seeds = k_seeds or default_k_seeds(emb.count())
     base = _with_norm(emb)
     seeds = _with_norm(emb.filter(F.col("vec_id") < k_seeds)).select(
         F.col("vec_id").alias("seed_id"),
@@ -111,6 +138,7 @@ def embedding_near_dups(
     emb: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
     nprobe_cells: int = 2,
+    k_seeds: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
     cosine >= threshold) via IVF-bucket candidates — never all-pairs.
@@ -127,8 +155,9 @@ def embedding_near_dups(
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sscore"), F.asc("seed_id")
     )
+    k_seeds = k_seeds or default_k_seeds(emb.count())
     ranked = (
-        seed_scores(emb)
+        seed_scores(emb, k_seeds)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe_cells)
         .select(
@@ -174,7 +203,8 @@ def ivf_topk(
     emb: DataFrame,
     k: int = 5,
     n_probes: int = 10,
-    nprobe_cells: int = NPROBE_CELLS,
+    nprobe_cells: int | None = None,
+    k_seeds: int | None = None,
 ) -> DataFrame:
     """Approximate top-k, IVF-style: every vector lives in the cell of
     its nearest centroid; a probe searches its nprobe_cells closest
@@ -184,10 +214,14 @@ def ivf_topk(
     Iceberg partition key and each probe prunes to nprobe partitions —
     the bucket-join ANN shape; the centroid table stays a broadcast.
     """
+    k_seeds = k_seeds or default_k_seeds(emb.count())
+    nprobe_cells = nprobe_cells or default_nprobe(k_seeds)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sscore"), F.asc("seed_id")
     )
-    ranked = seed_scores(emb).withColumn("rn", F.row_number().over(w))
+    ranked = seed_scores(emb, k_seeds).withColumn(
+        "rn", F.row_number().over(w)
+    )
     base = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("nbr_vec"),
@@ -233,7 +267,9 @@ SEMANTIC_DEDUP_THRESHOLD = 0.95
 
 
 def semantic_dedup(
-    emb: DataFrame, threshold: float = SEMANTIC_DEDUP_THRESHOLD
+    emb: DataFrame,
+    threshold: float = SEMANTIC_DEDUP_THRESHOLD,
+    k_seeds: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: assign every vector to
     its nearest coarse cell (broadcast centroid scoring, the IVF
@@ -252,7 +288,7 @@ def semantic_dedup(
         F.desc("sscore"), F.asc("seed_id")
     )
     cells = (
-        seed_scores(emb)
+        seed_scores(emb, k_seeds or default_k_seeds(emb.count()))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "_norm", F.col("seed_id").alias("cell"))

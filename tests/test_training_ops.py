@@ -341,3 +341,51 @@ def test_pack_sequences_bucketed_equals_global(spark):
     )
     assert "hashpartitioning(_bkt" in plan
     assert plan.count("SinglePartition") == 1
+
+
+def test_ivf_codebook_scales_with_corpus():
+    """Round-4 verdict: the codebook must grow with the corpus so the
+    same-cell pair volume of embedding_near_dups stays O(n^1.5), not
+    O(n^2/16).  k = ceil(sqrt(n)) floored at 16; probe width holds
+    the scanned fraction at the measured 3/16 recall operating
+    point."""
+    assert similarity.default_k_seeds(100) == 16  # floor
+    assert similarity.default_k_seeds(500) == 23
+    assert similarity.default_k_seeds(2000) == 45
+    assert similarity.default_k_seeds(10**12) == 10**6
+    assert similarity.default_nprobe(16) == 3
+    for n in (10**6, 10**9, 10**12):
+        k = similarity.default_k_seeds(n)
+        frac = similarity.default_nprobe(k) / k
+        assert abs(frac - 3 / 16) < 0.01
+
+
+def test_ivf_cell_occupancy_bounded(spark):
+    """Empirical occupancy at the bigger corpus (sf0.1, n=2000,
+    k=45): the largest cell stays within a small multiple of the
+    n/k expectation, and the total same-cell pair volume lands a
+    couple orders of magnitude under all-pairs — evidence the
+    nearest-seed quantizer doesn't collapse into one hot cell as n
+    grows past the old fixed-16 regime."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    k = similarity.default_k_seeds(n)
+    assert k == 45
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sscore"), F.asc("seed_id")
+    )
+    sizes = [
+        r["c"]
+        for r in similarity.seed_scores(emb, k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("seed_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert sum(sizes) == n
+    assert max(sizes) <= 6 * (n / k)
+    pair_volume = sum(c * (c - 1) // 2 for c in sizes)
+    assert pair_volume < (n * (n - 1) // 2) / 10
