@@ -315,6 +315,168 @@ def q_fixedstruct_records(spark, sf_dir):
     )
 
 
+def _binary_fixture_rows(spark, sf_dir):
+    """Shared events-table derivation for the binary fixtures (two
+    files keyed by event_id parity; same rows feed q_evtx_records,
+    q_journal_records and their streaming twins)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            (F.col("event_id") % 2).cast("int").alias("fb"),
+            F.col("event_id").alias("e"),
+            F.col("user_id").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+        )
+        .orderBy("fb", "e")
+        .collect()
+    )
+
+
+def _write_evtx_fixtures(spark, sf_dir, d, compress_f1=False):
+    """Write the deterministic two-file .evtx corpus into ``d``.
+    compress_f1=True writes f1 as .evtx.xz — exercising the
+    compressed-variant routing (batch _decompress and the widened
+    streaming pathGlobFilter)."""
+    import lzma
+    import os
+
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        encode_evtx,
+    )
+
+    files = {0: [], 1: []}
+    for r in _binary_fixture_rows(spark, sf_dir):
+        tus = r["eus"] - (3_600_000_000 if r["e"] % 7 == 0 else 0)
+        files[r["fb"]].append(
+            {
+                "record_id": r["e"] + 1,
+                "ts_us": tus,
+                "payload": (
+                    f"<Event><EventID>{r['e']}</EventID>"
+                    f"<Provider>prov{r['u'] % 10}</Provider></Event>"
+                ),
+            }
+        )
+    paths = []
+    for fb, rr in files.items():
+        data = encode_evtx(rr)
+        if compress_f1 and fb == 1:
+            p = os.path.join(d, f"f{fb}.evtx.xz")
+            data = lzma.compress(data)
+        else:
+            p = os.path.join(d, f"f{fb}.evtx")
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    return paths
+
+
+def _write_journal_fixtures(spark, sf_dir, d, compress_f1=False):
+    """Write the deterministic two-file .journal corpus into ``d``
+    (compress_f1=True → f1.journal.gz)."""
+    import gzip
+    import os
+
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        encode_journal,
+    )
+
+    files = {0: [], 1: []}
+    for r in _binary_fixture_rows(spark, sf_dir):
+        files[r["fb"]].append(
+            {
+                "seqnum": r["e"] + 1,
+                "ts_us": r["eus"],
+                "monotonic_us": r["eus"] % 86_400_000_000,
+                "fields": {
+                    "MESSAGE": f"svc event {r['e']}",
+                    "_HOSTNAME": f"host{r['u'] % 5}",
+                    "SYSLOG_IDENTIFIER": f"daemon{r['e'] % 3}",
+                    "_PID": str(100 + r["u"] % 50),
+                },
+            }
+        )
+    paths = []
+    for fb, rr in files.items():
+        data = encode_journal(rr)
+        if compress_f1 and fb == 1:
+            p = os.path.join(d, f"f{fb}.journal.gz")
+            data = gzip.compress(data)
+        else:
+            p = os.path.join(d, f"f{fb}.journal")
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    return paths
+
+
+def q_streaming_evtx(spark, sf_dir):
+    """Structured-Streaming EVTX ingestion under the driver oracle:
+    the same deterministic two-file corpus as q_evtx_records — with
+    f1 written as .evtx.xz to prove the compressed variant streams
+    too — decoded through read_evtx_stream (binaryFile file stream →
+    per-file chunk walk in mapInPandas), drained with
+    Trigger.AvailableNow to parquet, and compared against the
+    events-derived oracle.  Raw enumeration-order records (the
+    re-sort + ooo counter is the batch resort_with_ooo stage — a
+    global window a file stream cannot produce mid-flight)."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        run_evtx_stream_available_now,
+    )
+
+    session.prep(spark)
+    in_dir = tempfile.mkdtemp(prefix="s4sevtx_in_")
+    out_dir = tempfile.mkdtemp(prefix="s4sevtx_out_")
+    ck = tempfile.mkdtemp(prefix="s4sevtx_ck_")
+    _write_evtx_fixtures(spark, sf_dir, in_dir, compress_f1=True)
+    run_evtx_stream_available_now(spark, in_dir, out_dir, ck)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.evtx", 1).alias(
+            "source_label"
+        ),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("record_id").cast("long").alias("record_id"),
+        "ts",
+        "payload",
+        F.col("payload_len").cast("int").alias("payload_len"),
+    )
+
+
+def q_streaming_journal(spark, sf_dir):
+    """Structured-Streaming journal ingestion under the driver
+    oracle — q_journal_records' corpus (f1 as .journal.gz) through
+    read_journal_stream + AvailableNow drain; see q_streaming_evtx."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        run_journal_stream_available_now,
+    )
+
+    session.prep(spark)
+    in_dir = tempfile.mkdtemp(prefix="s4sjrnl_in_")
+    out_dir = tempfile.mkdtemp(prefix="s4sjrnl_out_")
+    ck = tempfile.mkdtemp(prefix="s4sjrnl_ck_")
+    _write_journal_fixtures(spark, sf_dir, in_dir, compress_f1=True)
+    run_journal_stream_available_now(spark, in_dir, out_dir, ck)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.journal", 1).alias(
+            "source_label"
+        ),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("seqnum").cast("long").alias("seqnum"),
+        "ts",
+        F.col("monotonic_us").cast("long").alias("monotonic_us"),
+        "message",
+        "hostname",
+        "identifier",
+        F.col("pid").cast("int").alias("pid"),
+    )
+
+
 def q_evtx_records(spark, sf_dir):
     """Real .evtx binary decode under the driver oracle: a
     deterministic event-log corpus derives from the events table
@@ -340,37 +502,8 @@ def q_evtx_records(spark, sf_dir):
     )
 
     session.prep(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    rows = (
-        ev.select(
-            (F.col("event_id") % 2).cast("int").alias("fb"),
-            F.col("event_id").alias("e"),
-            F.col("user_id").alias("u"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
-        )
-        .orderBy("fb", "e")
-        .collect()
-    )
-    files = {0: [], 1: []}
-    for r in rows:
-        tus = r["eus"] - (3_600_000_000 if r["e"] % 7 == 0 else 0)
-        files[r["fb"]].append(
-            {
-                "record_id": r["e"] + 1,
-                "ts_us": tus,
-                "payload": (
-                    f"<Event><EventID>{r['e']}</EventID>"
-                    f"<Provider>prov{r['u'] % 10}</Provider></Event>"
-                ),
-            }
-        )
     d = tempfile.mkdtemp(prefix="s4evtx_")
-    paths = []
-    for fb, rr in files.items():
-        p = os.path.join(d, f"f{fb}.evtx")
-        with open(p, "wb") as f:
-            f.write(encode_evtx(rr))
-        paths.append(p)
+    paths = _write_evtx_fixtures(spark, sf_dir, d)
     out = resort_with_ooo(read_evtx(spark, paths))
     return out.select(
         F.regexp_extract("source", r"(f\d)\.evtx", 1).alias("source_label"),
@@ -408,39 +541,8 @@ def q_journal_records(spark, sf_dir):
     )
 
     session.prep(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    rows = (
-        ev.select(
-            (F.col("event_id") % 2).cast("int").alias("fb"),
-            F.col("event_id").alias("e"),
-            F.col("user_id").alias("u"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
-        )
-        .orderBy("fb", "e")
-        .collect()
-    )
-    files = {0: [], 1: []}
-    for r in rows:
-        files[r["fb"]].append(
-            {
-                "seqnum": r["e"] + 1,
-                "ts_us": r["eus"],
-                "monotonic_us": r["eus"] % 86_400_000_000,
-                "fields": {
-                    "MESSAGE": f"svc event {r['e']}",
-                    "_HOSTNAME": f"host{r['u'] % 5}",
-                    "SYSLOG_IDENTIFIER": f"daemon{r['e'] % 3}",
-                    "_PID": str(100 + r["u"] % 50),
-                },
-            }
-        )
     d = tempfile.mkdtemp(prefix="s4jrnl_")
-    paths = []
-    for fb, rr in files.items():
-        p = os.path.join(d, f"f{fb}.journal")
-        with open(p, "wb") as f:
-            f.write(encode_journal(rr))
-        paths.append(p)
+    paths = _write_journal_fixtures(spark, sf_dir, d)
     out = read_journal(spark, paths)
     return out.select(
         F.regexp_extract(
@@ -873,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logfile_merge": q_logfile_merge,
         "fixedstruct_records": q_fixedstruct_records,
         "evtx_records": q_evtx_records,
+        "streaming_evtx": q_streaming_evtx,
+        "streaming_journal": q_streaming_journal,
         "journal_records": q_journal_records,
         "union_merge": q_union_merge,
         "pattern_counts": q_pattern_counts,
@@ -958,6 +1062,41 @@ SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
        'user' || CAST(u % 10 AS VARCHAR) AS ut_user,
        'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
        make_timestamp(eus) AS ts
+FROM b""",
+        "streaming_evtx": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events),
+r AS (
+  SELECT CAST(e % 2 AS INT) AS fb, e, u,
+         eus - CASE WHEN e % 7 = 0 THEN 3600000000 ELSE 0 END AS tus,
+         CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+              AS INT) AS rec_idx,
+         '<Event><EventID>' || CAST(e AS VARCHAR)
+           || '</EventID><Provider>prov' || CAST(u % 10 AS VARCHAR)
+           || '</Provider></Event>' AS payload
+  FROM b)
+SELECT 'f' || CAST(fb AS VARCHAR) AS source_label,
+       rec_idx,
+       CAST(e + 1 AS BIGINT) AS record_id,
+       make_timestamp(tus) AS ts,
+       payload,
+       CAST(length(payload) AS INT) AS payload_len
+FROM r""",
+        "streaming_journal": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+            AS INT) AS rec_idx,
+       CAST(e + 1 AS BIGINT) AS seqnum,
+       make_timestamp(eus) AS ts,
+       CAST(eus % 86400000000 AS BIGINT) AS monotonic_us,
+       'svc event ' || CAST(e AS VARCHAR) AS message,
+       'host' || CAST(u % 5 AS VARCHAR) AS hostname,
+       'daemon' || CAST(e % 3 AS VARCHAR) AS identifier,
+       CAST(100 + u % 50 AS INT) AS pid
 FROM b""",
         "evtx_records": """WITH b AS (
   SELECT event_id AS e, user_id AS u,

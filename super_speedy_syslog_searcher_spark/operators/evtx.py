@@ -157,6 +157,23 @@ def read_evtx(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
 
 
+def run_evtx_stream_available_now(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain the EVTX file stream with Trigger.AvailableNow to a
+    parquet sink — the batch-equivalence harness shape (process every
+    file currently present, checkpoint, stop)."""
+    q = (
+        read_evtx_stream(spark, in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def resort_with_ooo(records: DataFrame) -> DataFrame:
     """The EvtxReader re-sort: records ordered (ts, rec_idx) per
     source — the BTreeMap<(DateTimeL, usize)> key — plus ``ooo``

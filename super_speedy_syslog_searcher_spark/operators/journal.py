@@ -224,6 +224,22 @@ def read_journal(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
 
 
+def run_journal_stream_available_now(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain the journal file stream with Trigger.AvailableNow to a
+    parquet sink — see evtx.run_evtx_stream_available_now."""
+    q = (
+        read_journal_stream(spark, in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def encode_journal(records: list[dict]) -> bytes:
     """Inverse encoder (fixtures/tests): dict rows with ``seqnum``,
     ``ts_us``, ``monotonic_us`` and a ``fields`` dict → a
