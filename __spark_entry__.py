@@ -477,6 +477,66 @@ def q_streaming_journal(spark, sf_dir):
     )
 
 
+def q_odl_records(spark, sf_dir):
+    """OneDrive ODL binary decode under the driver oracle: a
+    deterministic ODL corpus derives from the events table (ts_ms =
+    event ts in epoch ms, code_file/function/line/params from event
+    columns), encoded into real ODL bytes — EBFGONED header + 32-byte
+    0xFFEEDDCC blocks (operators/odl.encode_odl; one file plain .odl,
+    one gzip-bodied .odlgz) — and decoded back through read_odl
+    (binaryFile → container walk in mapInPandas).  The renderer these
+    records flow through is separately proven byte-identical on the
+    reference's own three expected-output ODL files
+    (tests/test_odl.py).  The oracle derives identical records
+    straight from events."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.odl import (
+        encode_odl,
+        read_odl,
+    )
+
+    session.prep(spark)
+    files = {0: [], 1: []}
+    for r in _binary_fixture_rows(spark, sf_dir):
+        files[r["fb"]].append(
+            {
+                "ts_ms": r["eus"] // 1000,
+                "code_file": f"Module{r['e'] % 7}.cpp",
+                "line": r["e"] % 1000,
+                "function": f"Ns::Class::Fn{r['u'] % 11}",
+                "params": (
+                    [f"event {r['e']} marker", f"user{r['u'] % 100:02d}"]
+                    if r["e"] % 3 else []
+                ),
+                "pid": 4000 + r["fb"],
+                "tid": 100 + r["u"] % 50,
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4odl_")
+    paths = []
+    for fb, rr in files.items():
+        p = os.path.join(d, f"f{fb}.odl" + ("gz" if fb else ""))
+        with open(p, "wb") as f:
+            f.write(encode_odl(rr, gz=bool(fb)))
+        paths.append(p)
+    out = read_odl(spark, paths)
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.a?odl", 1).alias(
+            "source_label"
+        ),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        "ts",
+        F.col("pid").cast("int").alias("pid"),
+        F.col("tid").cast("int").alias("tid"),
+        "code_file",
+        F.col("line").cast("int").alias("line"),
+        "function",
+        "params",
+    )
+
+
 def q_evtx_records(spark, sf_dir):
     """Real .evtx binary decode under the driver oracle: a
     deterministic event-log corpus derives from the events table
@@ -975,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logfile_merge": q_logfile_merge,
         "fixedstruct_records": q_fixedstruct_records,
         "evtx_records": q_evtx_records,
+        "odl_records": q_odl_records,
         "streaming_evtx": q_streaming_evtx,
         "streaming_journal": q_streaming_journal,
         "journal_records": q_journal_records,
@@ -1062,6 +1123,25 @@ SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
        'user' || CAST(u % 10 AS VARCHAR) AS ut_user,
        'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
        make_timestamp(eus) AS ts
+FROM b""",
+        "odl_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+            AS INT) AS rec_idx,
+       make_timestamp((eus // 1000) * 1000) AS ts,
+       CAST(4000 + e % 2 AS INT) AS pid,
+       CAST(100 + u % 50 AS INT) AS tid,
+       'Module' || CAST(e % 7 AS VARCHAR) || '.cpp' AS code_file,
+       CAST(e % 1000 AS INT) AS line,
+       'Ns::Class::Fn' || CAST(u % 11 AS VARCHAR) AS function,
+       CASE WHEN e % 3 <> 0
+            THEN 'event ' || CAST(e AS VARCHAR) || ' marker user'
+                 || CASE WHEN u % 100 < 10 THEN '0' ELSE '' END
+                 || CAST(u % 100 AS VARCHAR)
+            ELSE '' END AS params
 FROM b""",
         "streaming_evtx": """WITH b AS (
   SELECT event_id AS e, user_id AS u,

@@ -369,6 +369,8 @@ def path_to_filetype(path: str) -> str:
         return "evtx"
     if low.endswith(".journal"):
         return "journal"
+    if low.endswith((".odl", ".odlgz", ".aodl", ".odlsent")):
+        return "odl"
     base = low.rsplit("/", 1)[-1]
     stem = base.split(".")[0]
     if stem in _FIXEDSTRUCT_NAMES or base.endswith(
@@ -625,6 +627,41 @@ def assembled_from_paths(
                 F.col("ts"),
                 F.col("ts").alias("ts_eff"),
                 F.lit("journal").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+    from ..operators import odl as _odl
+
+    od = binary_records(
+        "odl", _odl.read_odl, _odl._decode_batches,
+        _odl.RECORDS_SCHEMA,
+    )
+    if od is not None:
+        # text = the reference's rendered ODL line
+        # ('<epoch_ms> <file>:<function>; <params>', trailing params
+        # omitted when empty) so merge/prepend/summary treat ODL rows
+        # like any pre-stamped binary source
+        parts.append(
+            od.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.lit("odl").alias("role"),
+                F.lit("none").alias("tool"),
+                F.concat(
+                    F.unix_millis("ts").cast("string"),
+                    F.lit(" "),
+                    F.col("code_file"),
+                    F.lit(":"),
+                    F.col("function"),
+                    F.lit(";"),
+                    F.when(
+                        F.col("params") != "",
+                        F.concat(F.lit(" "), F.col("params")),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("odl").alias("sink_eff"),
                 F.col("rec_idx").cast("int").alias("msg_turn_idx"),
             )
         )
