@@ -257,3 +257,55 @@ def test_reference_mixed_wtmp_tar_decodes_members(spark):
     assert set(members) == {"host-entry6.wtmp"}
     assert len(members["host-entry6.wtmp"]) == 6
     assert all(r.sink_eff == "utmpx" for r in rows)
+
+
+def test_lz4_routed_binaries_decode(spark):
+    """.lz4 inputs decode through the pure-Python LZ4 frame decoder
+    (functions/lz4frame, public-spec implementation — no lz4 wheel in
+    this container): the compressed real wtmp/evtx/odl corpus files
+    yield the same records as their uncompressed twins."""
+    from super_speedy_syslog_searcher_spark.functions import lz4frame
+    from super_speedy_syslog_searcher_spark.operators.evtx import (
+        read_evtx,
+    )
+    from super_speedy_syslog_searcher_spark.operators.odl import (
+        read_odl,
+    )
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    L = "/root/reference/logs"
+    # byte-exact vs the uncompressed twin
+    got = lz4frame.decompress(
+        open(f"{L}/programs/utmp/host-entry6.wtmp.lz4", "rb").read()
+    )
+    want = open(f"{L}/programs/utmp/host-entry6.wtmp", "rb").read()
+    assert got == want
+    # end-to-end through routing: wtmp.lz4 -> 6 utmp records
+    asm = assembled_from_paths(
+        spark, [f"{L}/programs/utmp/host-entry6.wtmp.lz4"]
+    )
+    rows = asm.collect()
+    assert len(rows) == 6
+    assert all(r.sink_eff == "utmpx" for r in rows)
+    # evtx.lz4 decodes the same records as the genuine evtx
+    plain = read_evtx(
+        spark,
+        [f"{L}/programs/evtx/Microsoft-Windows-Kernel-PnP__Configuration.evtx"],
+    ).count()
+    lz = read_evtx(
+        spark,
+        [f"{L}/programs/evtx/Microsoft-Windows-Kernel-PnP__Configuration.evtx.lz4"],
+    ).count()
+    assert plain == lz > 0
+    # odl.lz4 = the 11-record expected file, compressed
+    odl = read_odl(
+        spark,
+        [
+            f"{L}/programs/OneDrive/Local/Microsoft/OneDrive/logs/"
+            "Common/FileCoAuth-2025-12-21.1214.4056.1.odl.lz4"
+        ],
+    ).collect()
+    assert len(odl) == 11
+    assert odl[0].code_file == "TelemetryProxyConfigurationFile.cpp"

@@ -389,3 +389,32 @@ def test_ivf_cell_occupancy_bounded(spark):
     assert max(sizes) <= 6 * (n / k)
     pair_volume = sum(c * (c - 1) // 2 for c in sizes)
     assert pair_volume < (n * (n - 1) // 2) / 10
+
+
+def test_frame_sample_vectorized_equivalence():
+    """The flat-buffer/LUT _frame_sample must be byte-identical to
+    the per-row reference algorithm over empties, sub-stride,
+    exact-stride and >MAX_FRAMES payloads."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    payloads = [b"", b"a", b"x" * 16, b"y" * 17, bytes(rng.randint(0, 256, 300, dtype=np.uint8))]
+    payloads += [bytes(rng.randint(0, 256, rng.randint(0, 200), dtype=np.uint8)) for _ in range(500)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(payloads), dtype="int64"),
+            "payload": pd.Series(payloads, dtype="object"),
+        }
+    )
+    got = next(multimodal._frame_sample(iter([pdf]))).reset_index(
+        drop=True
+    )
+    S, M = multimodal.FRAME_STRIDE, multimodal.MAX_FRAMES
+    for i, raw in enumerate(payloads):
+        k = min(M, (len(raw) + S - 1) // S)
+        want = ":".join(raw[j * S : j * S + 1].hex() for j in range(k))
+        assert got.loc[i, "n_frames"] == k
+        assert got.loc[i, "frames"] == want
+    # empty batch passes through
+    assert len(next(multimodal._frame_sample(iter([pdf.iloc[0:0]])))) == 0
