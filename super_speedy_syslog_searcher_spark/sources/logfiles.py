@@ -374,6 +374,8 @@ def path_to_filetype(path: str) -> str:
         return "journal"
     if low.endswith((".odl", ".odlgz", ".aodl", ".odlsent")):
         return "odl"
+    if low.endswith(".asl"):
+        return "asl"
     base = low.rsplit("/", 1)[-1]
     stem = base.split(".")[0]
     if stem in _FIXEDSTRUCT_NAMES or base.endswith(
@@ -633,6 +635,29 @@ def assembled_from_paths(
                 F.col("rec_idx").cast("int").alias("msg_turn_idx"),
             )
         )
+    from ..operators import asl as _asl
+
+    al = binary_records(
+        "asl", _asl.read_asl, _asl._decode_batches,
+        _asl.RECORDS_SCHEMA,
+    )
+    if al is not None:
+        # text = the validated ASL rendering (UTC ISO ts + key=value
+        # fields), the line shape the reference emits for .asl
+        parts.append(
+            al.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.lit("asl").alias("role"),
+                F.lit("none").alias("tool"),
+                F.col("line").alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("asl").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+
     from ..operators import odl as _odl
 
     od = binary_records(
