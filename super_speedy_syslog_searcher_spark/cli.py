@@ -331,6 +331,84 @@ def resolve_filters(
     )
 
 
+# s4's 28-color text palettes (printer/printers.rs:117-205,
+# COLORS_TEXT_DT dark / COLORS_TEXT_LT light).  Divergence: s4
+# assigns each file a RANDOM palette entry per run (color_rand,
+# s4.rs:5676); here the pick is a deterministic hash of the source
+# so reruns color identically — same palette, reproducible choice.
+_COLORS_DARK = [
+    (102, 102, 230), (102, 230, 102), (102, 230, 230),
+    (102, 102, 255), (102, 255, 102), (102, 255, 255),
+    (127, 127, 127), (127, 230, 127), (127, 127, 230),
+    (127, 230, 230), (127, 255, 127), (127, 127, 255),
+    (127, 255, 255), (153, 153, 153), (153, 153, 255),
+    (153, 255, 153), (153, 255, 255), (230, 127, 127),
+    (230, 230, 127), (230, 127, 230), (230, 153, 153),
+    (230, 230, 153), (230, 153, 230), (230, 230, 230),
+    (230, 255, 255), (230, 230, 255), (230, 255, 230),
+    (255, 255, 255),
+]
+_COLORS_LIGHT = [
+    (102, 102, 25), (102, 25, 102), (102, 25, 25),
+    (102, 102, 0), (102, 0, 102), (102, 0, 0),
+    (127, 127, 127), (127, 25, 127), (127, 127, 25),
+    (127, 25, 25), (127, 0, 127), (127, 127, 0),
+    (127, 0, 0), (102, 102, 102), (102, 102, 0),
+    (102, 0, 102), (102, 0, 0), (25, 127, 127),
+    (25, 25, 127), (25, 127, 25), (25, 102, 102),
+    (25, 25, 102), (25, 102, 25), (25, 25, 25),
+    (25, 0, 0), (25, 25, 0), (25, 0, 25),
+    (0, 0, 0),
+]
+
+
+def _color_enabled(args) -> bool:
+    """-c/--color resolution (s4.rs:3148-3158 + termcolor
+    ColorChoice): always | never | auto (tty-gated), with S4_COLOR
+    env fallback like the reference's clap env binding."""
+    import os
+
+    choice = (
+        args.color_choice or os.environ.get("S4_COLOR") or "auto"
+    )
+    if choice == "always":
+        return True
+    if choice == "never":
+        return False
+    return sys.stdout.isatty()
+
+
+def _colorized(lines, light: bool):
+    """Wrap each output line in its source's ANSI 24-bit color —
+    one JVM-side expression (hash → palette element_at → concat),
+    no driver-side per-row work."""
+    from pyspark.sql import functions as F
+
+    pal = _COLORS_LIGHT if light else _COLORS_DARK
+    arr = F.array(
+        *[F.lit("\x1b[38;2;%d;%d;%dm" % c) for c in pal]
+    )
+    pre = F.element_at(
+        arr, F.pmod(F.hash("conv_id"), F.lit(len(pal))) + 1
+    )
+    return lines.withColumn(
+        "line", F.concat(pre, F.col("line"), F.lit("\x1b[0m"))
+    )
+
+
+def _maybe_color(args, lines):
+    import os
+
+    if not _color_enabled(args):
+        return lines
+    light = (
+        args.light_theme
+        if args.light_theme is not None
+        else bool(os.environ.get("S4_LIGHT_THEME"))
+    )
+    return _colorized(lines, light)
+
+
 def _drain(lines, limit: int) -> dict:
     """Stream (line, ts_eff) rows to stdout, tracking the
     SummaryPrinted counters (printer/summary.rs:163-189: bytes,
@@ -701,6 +779,17 @@ def main(argv: list[str] | None = None) -> int:
                          "journalctl family (short*, export, verbose) "
                          "with hostname=conv, identifier=role, "
                          "pid=turn_idx")
+    ap.add_argument("-c", "--color", dest="color_choice",
+                    choices=("always", "auto", "never"),
+                    default=None,
+                    help="colorize output per source (s4 -c/--color; "
+                         "S4_COLOR env; default auto = only when "
+                         "stdout is a tty)")
+    ap.add_argument("--light-theme", action="store_true",
+                    default=None,
+                    help="dimmer palette for light terminal "
+                         "backgrounds (s4 --light-theme; "
+                         "S4_LIGHT_THEME env)")
     ap.add_argument("--summary", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
@@ -816,8 +905,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
             ).alias("line"),
             "ts_eff",
+            "conv_id",
         )
-        st = _drain(lines, args.limit)
+        st = _drain(_maybe_color(args, lines), args.limit)
         # --summary works with jsonl too
         _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
         spark.stop()
@@ -826,8 +916,9 @@ def main(argv: list[str] | None = None) -> int:
         lines = merged.select(
             _JOURNAL_FORMATS[args.out_format](merged).alias("line"),
             "ts_eff",
+            "conv_id",
         )
-        st = _drain(lines, args.limit)
+        st = _drain(_maybe_color(args, lines), args.limit)
         _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
         spark.stop()
         return 0
@@ -885,8 +976,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if stamp is not None:
         out = F.concat(stamp, F.lit(psep), out)
-    lines = merged.select(out.alias("line"), "ts_eff")
-    st = _drain(lines, args.limit)
+    lines = merged.select(out.alias("line"), "ts_eff", "conv_id")
+    st = _drain(_maybe_color(args, lines), args.limit)
     _maybe_summary(args, t, st, after, before, t0, asm_summary, tzmin=tzmin)
     spark.stop()
     return 0

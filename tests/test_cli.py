@@ -567,3 +567,55 @@ def test_cli_all_invalid_inputs_clean_error(tmp_path):
     assert out.returncode == 1
     assert "ERROR:" in out.stderr
     assert "Traceback" not in out.stderr
+
+
+def test_cli_color_always(tmp_path):
+    """-c always wraps each line in its source's deterministic ANSI
+    24-bit color from s4's dark palette (printer/printers.rs:117),
+    reset-terminated; never strips color codes from --limit/summary
+    accounting."""
+    (tmp_path / "one.log").write_text(
+        "2024-01-05T03:00:10 alpha\n2024-01-05T03:00:11 beta\n"
+    )
+    (tmp_path / "two.log").write_text("2024-01-05T03:00:12 gamma\n")
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "one.log"), str(tmp_path / "two.log"),
+            "-c", "always",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 3
+    import re as _re
+
+    pat = _re.compile(
+        r"^\x1b\[38;2;\d+;\d+;\d+m(.*)\x1b\[0m$"
+    )
+    bodies = []
+    prefixes = []
+    for ln in lines:
+        m = pat.match(ln)
+        assert m, repr(ln)
+        bodies.append(m.group(1))
+        prefixes.append(ln.split("m", 1)[0])
+    assert bodies == [
+        "2024-01-05T03:00:10 alpha",
+        "2024-01-05T03:00:11 beta",
+        "2024-01-05T03:00:12 gamma",
+    ]
+    # same source -> same color; deterministic across runs
+    assert prefixes[0] == prefixes[1]
+    # auto on a non-tty (captured stdout) emits no escapes
+    out2 = subprocess.run(
+        [
+            sys.executable, "-m",
+            "super_speedy_syslog_searcher_spark.cli",
+            str(tmp_path / "one.log"),
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert "\x1b[" not in out2.stdout
