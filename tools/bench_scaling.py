@@ -199,6 +199,23 @@ single extract per batch.  Output is identical either way
 (tests/test_patterns.py::test_winner_first_equals_bank_order + the
 differential oracle).
 
+## Round-5 performance deltas
+
+* bench.py estimator rebuilt (round-4 verdict item 1): REPS
+  interleaved rounds with per-query MEDIANS and raw per-round times
+  in the JSON — a minute-scale drift episode now hits every query
+  equally instead of poisoning whichever query owned that window.
+* Third scale point: parse_merge_50m (replication x10, one timed run
+  after JIT warmup) separates constant overhead from per-row cost;
+  turns_per_sec_50m in bench.py output.
+* multimodal._frame_sample flat-buffer+LUT vectorization: 1.4x on a
+  100k-row batch, byte-identical (two slower variants documented and
+  rejected: pandas .str per-frame 0.6x, np.char fixed-width 0.4x).
+* New decode surfaces (tar member explode, ODL, ASL, pure-Python
+  lz4) all follow the one-file-per-task mapInPandas shape — no new
+  shuffles, no new UDFs in the transcripts hot path; table-mode
+  headline numbers unaffected by construction.
+
 ## Round-4 performance deltas
 
 * conv_summary r3 tick (6.65 -> 7.48 s) resolved as ambient drift:
@@ -241,9 +258,10 @@ differential oracle).
 
 Ambient throughput on this sandbox drifts ~2x on minute timescales
 (no CPU steal visible; first executions of a plan shape also pay JVM
-JIT).  bench.py therefore warms up per plan and reports min-of-N;
-this tool interleaves the parallelism levels twice and keeps each
-level's best.  Reference baseline context: s4 scans ~397k lines/s on
+JIT).  bench.py therefore warms up per plan and reports per-query
+MEDIANS over interleaved rounds (raw rounds in the JSON); this tool
+interleaves the parallelism levels over 3 rounds and keeps each
+level's median.  Reference baseline context: s4 scans ~397k lines/s on
 its compare-log-mergers workload (BASELINE.md); this pipeline's
 headline includes window repair, assembly, and the global sort on
 top of the parse.
