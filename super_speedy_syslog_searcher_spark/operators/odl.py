@@ -171,7 +171,22 @@ def _decode_batches(
     for pdf in batches:
         frames = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            f = decode_odl_file(_decompress(path, bytes(content)))
+            # per-file fault isolation (same contract as the text
+            # source): one undecodable file — wrong magic, torn
+            # stream, AppleDouble "._" sidecar — warns and skips
+            # instead of killing the job (s4 records a per-file
+            # processing error and moves on)
+            try:
+                f = decode_odl_file(_decompress(path, bytes(content)))
+            except Exception as ex:  # noqa: BLE001
+                import sys as _sys
+
+                print(
+                    f"WARNING: failed to decode {path!r}: "
+                    f"{type(ex).__name__}: {ex}",
+                    file=_sys.stderr,
+                )
+                continue
             f.insert(0, "source", path)
             frames.append(f)
         if frames:

@@ -125,3 +125,26 @@ def test_asl_routes_and_merges(spark, tmp_path):
     assert [r.sink_eff for r in rows] == ["asl", "iso8601_notz", "asl"]
     assert "message='first'" in rows[0].text
     assert rows[0].text.startswith("2024-01-05T03:00:10.000000  id=1")
+
+
+def test_undecodable_binary_file_is_fault_isolated(spark, tmp_path):
+    """An AppleDouble '._' sidecar (or any wrong-magic file) routed
+    to a binary reader warns and skips — never kills the job (the
+    per-file fault-isolation contract shared with the text
+    source)."""
+    from super_speedy_syslog_searcher_spark.sources.logfiles import (
+        assembled_from_paths,
+    )
+
+    good = tmp_path / "good.asl"
+    good.write_bytes(
+        encode_asl(
+            [{"rid": 1, "ts_us": 1_704_423_610_000_000,
+              "level": 5, "sender": "d1", "message": "ok"}]
+        )
+    )
+    junk = tmp_path / "._junk.asl"
+    junk.write_bytes(b"\x00\x05\x16\x07 appledouble junk")
+    rows = assembled_from_paths(spark, [str(tmp_path)]).collect()
+    assert len(rows) == 1
+    assert rows[0].text.endswith("message='ok'")
