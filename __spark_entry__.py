@@ -477,6 +477,65 @@ def q_streaming_journal(spark, sf_dir):
     )
 
 
+def q_etl_records(spark, sf_dir):
+    """Windows ETL binary decode under the driver oracle: a
+    deterministic two-file corpus derives from the events table
+    (EVENT_HEADER records with provider GUIDs, tids/pids and payload
+    lengths from event columns; QPC stamps anchored to a fixed
+    logfile-header StartTime), encoded into real WMI-buffer ETL bytes
+    (operators/etl.encode_etl) and decoded back through read_etl.
+    The renderer is separately proven byte-identical (modulo the
+    vendored renderer's memory-address token) on the reference's own
+    expected .etl output (tests/test_etl.py).  The oracle derives
+    identical records straight from events; the logfile-header event
+    (rec_idx 0) is excluded as fixture scaffolding."""
+    import os
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.operators.etl import (
+        encode_etl,
+        read_etl,
+    )
+
+    session.prep(spark)
+    START_US = 1_500_000_000_000_000
+    files = {0: [], 1: []}
+    for r in _binary_fixture_rows(spark, sf_dir):
+        e, u = r["e"], r["u"]
+        files[r["fb"]].append(
+            {
+                "ts_us": r["eus"],
+                "provider": (
+                    f"00000000-0000-4000-8000-{u % 1000:012d}"
+                ),
+                "tid": 100 + u % 50,
+                "pid": 4000 + r["fb"],
+                "version": e % 3,
+                "payload": b"p" * (e % 50),
+            }
+        )
+    d = tempfile.mkdtemp(prefix="s4etl_")
+    paths = []
+    for fb, rr in files.items():
+        p = os.path.join(d, f"f{fb}.etl")
+        with open(p, "wb") as f:
+            f.write(encode_etl(rr, start_us=START_US))
+        paths.append(p)
+    out = read_etl(spark, paths)
+    return out.filter(F.col("rec_idx") > 0).select(
+        F.regexp_extract("source", r"(f\d)\.etl", 1).alias(
+            "source_label"
+        ),
+        (F.col("rec_idx") - 1).cast("int").alias("rec_idx"),
+        "ts",
+        "kind",
+        "provider_id",
+        F.col("thread_id").cast("int").alias("thread_id"),
+        F.col("process_id").cast("int").alias("process_id"),
+        F.col("payload_len").cast("int").alias("payload_len"),
+    )
+
+
 def q_asl_records(spark, sf_dir):
     """Apple ASL binary decode under the driver oracle: a
     deterministic two-store corpus derives from the events table
@@ -1108,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evtx_records": q_evtx_records,
         "odl_records": q_odl_records,
         "asl_records": q_asl_records,
+        "etl_records": q_etl_records,
         "streaming_evtx": q_streaming_evtx,
         "streaming_journal": q_streaming_journal,
         "journal_records": q_journal_records,
@@ -1195,6 +1255,21 @@ SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
        'user' || CAST(u % 10 AS VARCHAR) AS ut_user,
        'host-' || CAST(u % 10 AS VARCHAR) AS ut_host,
        make_timestamp(eus) AS ts
+FROM b""",
+        "etl_records": """WITH b AS (
+  SELECT event_id AS e, user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+  FROM events)
+SELECT 'f' || CAST(CAST(e % 2 AS INT) AS VARCHAR) AS source_label,
+       CAST(row_number() OVER (PARTITION BY e % 2 ORDER BY e) - 1
+            AS INT) AS rec_idx,
+       make_timestamp(eus) AS ts,
+       'EventHeader' AS kind,
+       '00000000-0000-4000-8000-' || lpad(CAST(u % 1000 AS VARCHAR), 12, '0')
+         AS provider_id,
+       CAST(100 + u % 50 AS INT) AS thread_id,
+       CAST(4000 + e % 2 AS INT) AS process_id,
+       CAST(e % 50 AS INT) AS payload_len
 FROM b""",
         "asl_records": """WITH b AS (
   SELECT event_id AS e, user_id AS u,

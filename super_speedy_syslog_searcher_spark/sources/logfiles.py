@@ -376,6 +376,8 @@ def path_to_filetype(path: str) -> str:
         return "odl"
     if low.endswith(".asl"):
         return "asl"
+    if low.endswith(".etl"):
+        return "etl"
     base = low.rsplit("/", 1)[-1]
     stem = base.split(".")[0]
     if stem in _FIXEDSTRUCT_NAMES or base.endswith(
@@ -654,6 +656,28 @@ def assembled_from_paths(
                 F.col("ts"),
                 F.col("ts").alias("ts_eff"),
                 F.lit("asl").alias("sink_eff"),
+                F.col("rec_idx").cast("int").alias("msg_turn_idx"),
+            )
+        )
+
+    from ..operators import etl as _etl
+
+    et = binary_records(
+        "etl", _etl.read_etl, _etl._decode_batches,
+        _etl.RECORDS_SCHEMA,
+    )
+    if et is not None:
+        # text = the reference's rendered ETL record line
+        parts.append(
+            et.select(
+                F.col("source").alias("conv_id"),
+                F.col("rec_idx").cast("int").alias("turn_idx"),
+                F.lit("etl").alias("role"),
+                F.lit("none").alias("tool"),
+                F.col("line").alias("text"),
+                F.col("ts"),
+                F.col("ts").alias("ts_eff"),
+                F.lit("etl").alias("sink_eff"),
                 F.col("rec_idx").cast("int").alias("msg_turn_idx"),
             )
         )
