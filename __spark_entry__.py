@@ -25,6 +25,7 @@ from super_speedy_syslog_searcher_spark.operators import (
     similarity,
     sketch,
     stats,
+    temporal,
     textstats,
 )
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich_stage
@@ -1158,6 +1159,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_merge_ordered(spark, "/root/testdata/sf0.001")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components clustering of the LSH-verified duplicate
+    pairs: Spark runs min-label propagation with pointer jumping
+    (operators/dedup.duplicate_clusters); the oracle computes the same
+    closure with a recursive CTE — two independent CC algorithms."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_verified_pairs(docs)
+    cc = dedup.duplicate_clusters(pairs)
+    sz = cc.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return cc.join(sz, "cluster_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return temporal.session_stats(ev).select(
+        "session_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_s",
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return temporal.asof_attach(ev).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+        "asof_value",
+        "asof_ts",
+        "asof_lag_s",
+    )
+
+
+def q_repetition_metrics(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_metrics(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "top_tok_permille",
+        "dup_bigram_permille",
+        "is_repetitive",
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.shard_assign(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_extract": q_parse_extract,
@@ -1187,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1203,6 +1279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "distinct_kmv": q_distinct_kmv,
         "stratified_sample": q_stratified_sample,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "repetition_metrics": q_repetition_metrics,
+        "shard_assign": q_shard_assign,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -1575,6 +1655,95 @@ j AS (
   JOIN sz sb ON doc_b = sb.doc_id)
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
 FROM j WHERE jaccard >= 0.2""",
+        "dedup_clusters": f"""WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_sig} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+vp AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.2),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION SELECT doc_b, doc_a FROM vp),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+csz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM cc JOIN csz USING (cluster_id)""",
+        "sessionize": """WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM g)
+SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sidx AS VARCHAR) AS session_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+FROM s GROUP BY 1, 2""",
+        "asof_join": """WITH a AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      OVER w AS asof_value,
+    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+      OVER w AS asof_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       ts, event_type, value, asof_value, asof_ts,
+       CAST((epoch_us(ts) - epoch_us(asof_ts)) // 1000000 AS BIGINT) AS asof_lag_s
+FROM a""",
+        "repetition_metrics": """WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+tstat AS (SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tokens FROM tc GROUP BY 1),
+bgx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i, ws FROM w),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM bgx),
+bs AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_d FROM bg GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((1000 * max_tok) // n_tokens AS BIGINT) AS top_tok_permille,
+       CAST(coalesce((1000 * (n_bg - n_bg_d)) // n_bg, 0) AS BIGINT) AS dup_bigram_permille,
+       ((1000 * max_tok) // n_tokens >= 200
+        OR coalesce((1000 * (n_bg - n_bg_d)) // n_bg, 0) >= 300) AS is_repetitive
+FROM tstat LEFT JOIN bs USING (doc_id)""",
+        "shard_assign": f"""WITH h AS (
+  SELECT doc_id,
+         ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#s4'")}) AS hv
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(hv % 16 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h""",
         "simhash": f"""WITH
 tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
 hh AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),

@@ -244,6 +244,84 @@ def simhash(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", F.concat(*hex_cols).alias("simhash_hex"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Connected components over duplicate pairs → cluster labels.
+
+    The step production dedup needs AFTER pair generation: pairs from
+    any detector (LSH-verified, embedding, simhash buckets) are only
+    edges; keeping "one copy per duplicate group" requires the
+    transitive closure.  Output: (doc_id, cluster_id) for every doc
+    appearing in a pair, cluster_id = min doc_id of the component —
+    so survivor selection is `doc_id == cluster_id`.
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    (1) every node takes the min label over itself and its neighbors
+    (one join shuffling on node id + a partial-agg groupBy), then
+    (2) labels hop to their label's label (one self-join), which
+    halves remaining chain lengths — O(log d) rounds for component
+    diameter d, the large-star/small-star contraction bound, vs O(d)
+    for plain propagation.  Labels only ever decrease, so convergence
+    is a scalar sum comparison; that one number is the only thing
+    that ever reaches the driver.  At 10^12 docs each round is two
+    shuffles keyed on doc ids (uniform, AQE-splittable) over a frame
+    no larger than the pair list — and near-dup pair lists are sparse
+    by construction (LSH emits same-bucket pairs only).
+    """
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("lbl").alias("nlbl")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nlbl").alias("nbr_min"))
+        )
+        step = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))
+            ).alias("lbl"),
+        )
+        hop = step.select(
+            F.col("node").alias("lnode"), F.col("lbl").alias("llbl")
+        )
+        step = (
+            step.join(hop, step["lbl"] == hop["lnode"], "left")
+            .select("node", F.coalesce("llbl", "lbl").alias("lbl"))
+            .persist()
+        )
+        cur_sum = step.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = step
+        if prev_sum is not None and cur_sum == prev_sum:
+            return labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("lbl").alias("cluster_id"),
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_rounds} rounds"
+    )
+
+
 CONTAM_W = 5  # benchmark-overlap n-gram width
 
 

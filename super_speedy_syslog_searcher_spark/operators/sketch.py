@@ -61,6 +61,41 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "s4",
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order —
+    the "global shuffle" a pretraining dataloader needs, reproducible
+    across engines and runs: shard = h52(id # seed) mod n_shards, pos
+    = rank of the hash within the shard (id tiebreak).  Changing the
+    seed re-deals the whole shuffle; changing n_shards only re-buckets.
+
+    Scale: the hash is a narrow map; pos sorts n/n_shards rows per
+    shard partition.  The hash IS the anti-skew salt (uniform by
+    construction), so shard partitions are balanced; at 10^12 rows
+    replace row_number with the two-level per-partition-offset recipe
+    (merge.py global seq) over the same (shard, hash, id) ordering —
+    same output, no single-partition sort.
+    """
+    h = _h13(
+        F.concat(F.col(id_col).cast("string"), F.lit("#" + seed))
+    )
+    out = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, pct: int = 10
 ) -> DataFrame:

@@ -1,0 +1,111 @@
+"""Temporal relational operators over the `events` stream: gap-based
+sessionization and as-of (nearest-preceding-row) attachment.
+
+Not in the reference (s4 merges and range-filters by time; it does not
+sessionize or join), but first-class for a log/telemetry analytics
+engine: "split each user's activity at idle gaps" and "attach the most
+recent prior X to every row" are the two canonical time-relational
+queries over any event log.
+
+Scale shape (both ops): ONE hash shuffle on user_id + one
+in-partition sort, shared by every window expression (Catalyst stacks
+same-spec windows on a single Exchange+Sort — the PLAN.md repair/
+assembly result).  No range join, no per-key loop, no row explosion:
+this is the 10^12-row-safe formulation of as-of, vs. the naive
+inequality join whose candidate set is quadratic per key.  Skewed
+users are bounded by the same input contract as conversations
+(SURVEY §7); AQE skew-split applies to the single Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP_MINUTES = 120  # idle gap that opens a new session
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """Assign a session_id to every event: a session breaks when the
+    gap to the user's previous event exceeds `gap_minutes` (strict >,
+    so an exactly-gap-long pause keeps the session).
+
+    session_id = "<user_id>#<running break count>" — deterministic,
+    dense per user, stable across engines.  Ties in ts are ordered by
+    event_id so the labeling is a total order.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    brk = F.when(
+        prev.isNull() | ((us - prev) > gap_minutes * 60_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("_brk", brk)
+        .withColumn("_sidx", F.sum("_brk").over(cum))
+        .withColumn(
+            "session_id",
+            F.concat_ws(
+                "#",
+                F.col("user_id").cast("string"),
+                F.col("_sidx").cast("string"),
+            ),
+        )
+        .drop("_brk", "_sidx")
+    )
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """One row per session: bounds, size, duration.  The aggregate
+    reuses sessionize's user_id partitioning (groupBy key has user_id
+    prefix), so AQE coalesces rather than reshuffles."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("session_id", "user_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000"
+        ).cast("bigint").alias("duration_s"),
+    )
+
+
+def asof_attach(
+    events: DataFrame, of_type: str = "purchase"
+) -> DataFrame:
+    """As-of join expressed as a window: attach to every event the
+    value/time of the most recent STRICTLY-preceding event of
+    `of_type` for the same user (ties broken by event_id; an
+    `of_type` row never matches itself).
+
+    This is the composition path for an operator Spark lacks: the
+    union-free single-table form is last(conditional, ignorenulls)
+    over ROWS UNBOUNDED PRECEDING..-1.  For two distinct tables the
+    same shape applies after a unionByName with a side tag — still one
+    shuffle on the join key, never an inequality join.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = F.when(F.col("event_type") == of_type, F.col("value"))
+    pt = F.when(F.col("event_type") == of_type, F.col("ts"))
+    return (
+        events.withColumn("asof_value", F.last(pv, ignorenulls=True).over(w))
+        .withColumn("asof_ts", F.last(pt, ignorenulls=True).over(w))
+        .withColumn(
+            "asof_lag_s",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(asof_ts)) DIV 1000000"
+            ).cast("bigint"),
+        )
+    )

@@ -92,6 +92,64 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality features: the
+    fraction of tokens that are the single most frequent token, and
+    the fraction of word-bigram occurrences that are repeats (1 −
+    distinct/total).  Degenerate, loop-generated, or boilerplate text
+    scores high on both; the standard pretraining filter drops it.
+
+    Fractions are INTEGER PERMILLE via floor division — engine round()
+    rules disagree exactly at .5 ties (quality_scores' floor+0.5 note),
+    and small-denominator token ratios DO land on ties, so no floats
+    leave this operator.
+
+    Scale: explode + two partial-agg groupBys keyed on doc_id (+token)
+    — map-side combine absorbs the token fan-out; no joins other than
+    the final doc_id-keyed merge of the two aggregate frames.
+    """
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("_w")
+    )
+    toks = words.select("doc_id", F.explode("_w").alias("tok"))
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_tok"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                "i -> concat_ws(' ', slice(_w, i, 2))) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bg_stats = bigrams.groupBy("doc_id").agg(
+        F.count("*").alias("n_bg"),
+        F.countDistinct("bg").alias("n_bg_d"),
+    )
+    out = tok_stats.join(bg_stats, "doc_id", "left")
+    top_pm = F.expr("(1000 * max_tok) DIV n_tokens")
+    dup_pm = F.coalesce(
+        F.expr("(1000 * (n_bg - n_bg_d)) DIV n_bg"), F.lit(0)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        top_pm.cast("bigint").alias("top_tok_permille"),
+        dup_pm.cast("bigint").alias("dup_bigram_permille"),
+        ((top_pm >= 200) | (dup_pm >= 300)).alias("is_repetitive"),
+    )
+
+
 # PII redaction patterns — shared verbatim with the DuckDB oracle, so
 # every construct must behave identically in Java regex and RE2
 # (no backreferences, no lookaround)

@@ -1,0 +1,101 @@
+"""Gap sessionization + as-of attachment: planted-fixture semantics
+(oracle hash equality is covered by tests/test_pipeline_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from super_speedy_syslog_searcher_spark.operators import temporal
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+SCHEMA = (
+    "event_id long, user_id long, ts timestamp, "
+    "event_type string, value double"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _m(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, 7, BASE, "view", 1.0),
+        (2, 7, _m(30), "click", 2.0),
+        (3, 7, _m(30 + 121), "view", 3.0),  # >120 min idle → new session
+        (4, 9, BASE, "view", 4.0),
+    ]
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in temporal.sessionize(_ev(spark, rows)).collect()
+    }
+    assert out[1] == out[2] == "7#1"
+    assert out[3] == "7#2"
+    assert out[4] == "9#1"
+
+
+def test_sessionize_exact_gap_keeps_session(spark):
+    # the break is strict >: a pause of exactly gap_minutes stays
+    rows = [(1, 7, BASE, "view", 1.0), (2, 7, _m(120), "view", 2.0)]
+    out = temporal.sessionize(_ev(spark, rows)).collect()
+    assert {r["session_id"] for r in out} == {"7#1"}
+
+
+def test_session_stats_bounds_and_duration(spark):
+    rows = [
+        (1, 7, BASE, "view", 1.0),
+        (2, 7, _m(10), "click", 2.0),
+        (3, 7, _m(500), "view", 3.0),
+    ]
+    stats = {
+        r["session_id"]: r
+        for r in temporal.session_stats(_ev(spark, rows)).collect()
+    }
+    s1 = stats["7#1"]
+    assert s1["n_events"] == 2
+    assert s1["duration_s"] == 600
+    assert s1["session_start"] == BASE and s1["session_end"] == _m(10)
+    assert stats["7#2"]["n_events"] == 1
+    assert stats["7#2"]["duration_s"] == 0
+
+
+def test_asof_attach_strictly_preceding_rows(spark):
+    rows = [
+        (1, 7, BASE, "purchase", 10.0),
+        # same ts, larger event_id: the purchase is a preceding ROW
+        (2, 7, BASE, "view", 0.0),
+        (3, 7, _m(5), "purchase", 20.0),
+        (4, 7, _m(6), "view", 0.0),
+        (5, 8, BASE, "view", 0.0),  # user with no purchase at all
+    ]
+    out = {
+        r["event_id"]: r
+        for r in temporal.asof_attach(_ev(spark, rows)).collect()
+    }
+    # a purchase never matches itself (frame ends at the previous row)
+    assert out[1]["asof_value"] is None
+    # (ts, event_id) tie: same-ts earlier-id purchase IS preceding
+    assert out[2]["asof_value"] == 10.0 and out[2]["asof_lag_s"] == 0
+    # the second purchase sees the first
+    assert out[3]["asof_value"] == 10.0 and out[3]["asof_lag_s"] == 300
+    # most-recent wins
+    assert out[4]["asof_value"] == 20.0 and out[4]["asof_lag_s"] == 60
+    # no cross-user leakage
+    assert out[5]["asof_value"] is None and out[5]["asof_ts"] is None
+
+
+def test_asof_and_sessionize_share_one_shuffle(spark):
+    """Both ops are one hash Exchange on user_id: every window
+    expression stacks on a single shuffle+sort (the PLAN.md
+    stacked-window property), so the as-of is never an inequality
+    join."""
+    ev = _ev(spark, [(1, 7, BASE, "view", 1.0)])
+    for df in (temporal.asof_attach(ev), temporal.sessionize(ev)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, plan
+        assert "SortMergeJoin" not in plan and "Cartesian" not in plan

@@ -418,3 +418,85 @@ def test_frame_sample_vectorized_equivalence():
         assert got.loc[i, "frames"] == want
     # empty batch passes through
     assert len(next(multimodal._frame_sample(iter([pdf.iloc[0:0]])))) == 0
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """A diameter-9 path must collapse to ONE cluster labeled by its
+    min node (pointer jumping: well under the 16-round cap), and a
+    disjoint pair must stay its own cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)],
+        "doc_a long, doc_b long",
+    )
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert all(cc[i] == 0 for i in range(10))
+    assert cc[100] == 100 and cc[101] == 100
+    assert len(cc) == 12
+
+
+def test_duplicate_clusters_orientation_and_dups_irrelevant(spark):
+    """Edge orientation and repeated edges must not change the
+    components (the op symmetrizes internally)."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 8), (8, 5), (8, 5), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert cc == {3: 3, 5: 3, 8: 3, 20: 20, 21: 20}
+
+
+def test_repetition_flags_planted_repetitive_doc(spark):
+    """A degenerate all-one-token doc maxes both metrics; the real
+    corpus docs (varied vocab) must not all be flagged."""
+    docs = _docs(spark)
+    spam = docs.limit(1).select(
+        F.lit(999_999).alias("doc_id"),
+        F.lit("spam spam spam spam spam spam").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_metrics(
+            docs.unionByName(spam)
+        ).collect()
+    }
+    planted = out[999_999]
+    assert planted["top_tok_permille"] == 1000
+    assert planted["dup_bigram_permille"] == 800  # 5 bigrams, 1 distinct
+    assert planted["is_repetitive"]
+    n_flagged = sum(1 for r in out.values() if r["is_repetitive"])
+    assert n_flagged < len(out)
+
+
+def test_shard_assign_covers_all_rows_with_dense_pos(spark):
+    """Every row gets exactly one (shard, pos); shards are in range
+    and pos is dense 1..k within each shard; a different seed re-deals
+    the assignment."""
+    from collections import defaultdict
+
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    docs = _docs(spark)
+    n = docs.count()
+    rows = sketch.shard_assign(docs, n_shards=16, seed="s4").collect()
+    assert len(rows) == n
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        by_shard[r["shard"]].append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    reshuffled = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sketch.shard_assign(docs, n_shards=16, seed="v2").collect()
+    }
+    orig = {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    assert orig != reshuffled
