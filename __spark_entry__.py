@@ -1223,6 +1223,35 @@ def q_repetition_metrics(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Weighted data-mixing sample: per-source keep rates (permille)
+    derived from the source suffix so the same map works at every SF;
+    src0 carries rate 0 and must vanish from the output."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {f"src{i}": 50 * (i % 20) for i in range(20)}
+    return (
+        sketch.mixture_sample(docs, rates)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.unigram_logprob(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "nll_micro_sum",
+        "nll_per_tok_micro",
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1283,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "repetition_metrics": q_repetition_metrics,
         "shard_assign": q_shard_assign,
+        "mixture_sample": q_mixture_sample,
+        "unigram_logprob": q_unigram_logprob,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -1736,6 +1767,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ((1000 * max_tok) // n_tokens >= 200
         OR coalesce((1000 * (n_bg - n_bg_d)) // n_bg, 0) >= 300) AS is_repetitive
 FROM tstat LEFT JOIN bs USING (doc_id)""",
+        "mixture_sample": f"""WITH k AS (
+  SELECT * FROM documents
+  WHERE ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#' || source || '#mix1'")}) % 1000
+        < (CAST(substr(source, 4) AS INT) % 20) * 50)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM k GROUP BY source""",
+        "unigram_logprob": """WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS T FROM freq),
+vocab AS (
+  SELECT tok,
+         CAST(floor(-1000000.0 * ln(CAST(c AS DOUBLE) / CAST(T AS DOUBLE))) AS BIGINT) AS nll_micro
+  FROM freq, tot)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
+       CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_per_tok_micro
+FROM tok JOIN vocab USING (tok)
+GROUP BY doc_id""",
         "shard_assign": f"""WITH h AS (
   SELECT doc_id,
          ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#s4'")}) AS hv

@@ -96,6 +96,42 @@ def shard_assign(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Weighted mixture sampling — the "data mixing" step of corpus
+    assembly: each row is kept with its source's rate (permille),
+    decided by the deterministic 52-bit hash of (id # source # seed),
+    so the mix is reproducible across engines/runs and re-weighting a
+    source never disturbs another source's sample (the hash input
+    includes the source).  Sources absent from the map are dropped
+    (rate 0).
+
+    Scale: the rate lookup is a literal CASE (whole-stage codegen, no
+    join) and the filter is a pure narrow map — zero shuffle at any
+    corpus size, like stratified_sample."""
+    h = _h13(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col(key_col),
+            F.lit("#" + seed),
+        )
+    )
+    rate = None
+    for src, pm in sorted(rates_permille.items()):
+        cond = F.when(F.col(key_col) == src, F.lit(pm))
+        rate = cond if rate is None else rate.when(
+            F.col(key_col) == src, F.lit(pm)
+        )
+    rate = F.lit(0) if rate is None else rate.otherwise(F.lit(0))
+    return df.filter((h % 1000) < rate)
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, pct: int = 10
 ) -> DataFrame:

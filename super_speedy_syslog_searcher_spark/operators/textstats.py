@@ -150,6 +150,52 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style perplexity
+    quality gate, self-trained: token frequencies over the corpus
+    itself form the LM, and each document scores the sum of its
+    tokens' negative log-probabilities.  Outlier-high per-token NLL =
+    rare-token noise; outlier-low = degenerate repetition.
+
+    Numeric determinism: each DISTINCT token's NLL is floored to
+    integer micro-nats FIRST (floor(-1e6·ln(c/T))), then summed as
+    bigints — so the per-doc sum is exact integer math, independent
+    of summation order (a raw double sum would differ between
+    engines by ulps).  The only cross-engine float exposure is
+    ln() itself on identical doubles, guarded by the 1e-6-wide
+    integer floor.
+
+    Scale: the vocab frequency table is tiny relative to the corpus
+    (it IS the distinct-token set) → broadcast join onto the token
+    stream; one partial-agg groupBy(doc_id) finishes.  At web vocab
+    sizes past the broadcast threshold the same join degrades to a
+    shuffled hash join keyed on the token."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("T"))
+    vocab = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            F.lit(-1_000_000.0) * F.log(F.col("c") / F.col("T"))
+        ).cast("bigint").alias("nll_micro"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro_sum"),
+        )
+        .withColumn(
+            "nll_per_tok_micro",
+            F.expr("nll_micro_sum DIV n_tokens").cast("bigint"),
+        )
+    )
+
+
 # PII redaction patterns — shared verbatim with the DuckDB oracle, so
 # every construct must behave identically in Java regex and RE2
 # (no backreferences, no lookaround)

@@ -500,3 +500,68 @@ def test_shard_assign_covers_all_rows_with_dense_pos(spark):
     }
     orig = {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
     assert orig != reshuffled
+
+
+def test_mixture_sample_isolated_reweighting(spark):
+    """Re-weighting ONE source must not disturb any other source's
+    kept set (the hash input includes the source), and a rate-0
+    source vanishes."""
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    docs = _docs(spark)
+    base = {f"src{i}": 50 * (i % 20) for i in range(20)}
+    tweaked = dict(base, src5=999)
+    kept_a = {
+        (r["doc_id"], r["source"])
+        for r in sketch.mixture_sample(docs, base).collect()
+    }
+    kept_b = {
+        (r["doc_id"], r["source"])
+        for r in sketch.mixture_sample(docs, tweaked).collect()
+    }
+    assert not any(src == "src0" for _, src in kept_a)
+    other_a = {(d, s) for d, s in kept_a if s != "src5"}
+    other_b = {(d, s) for d, s in kept_b if s != "src5"}
+    assert other_a == other_b
+    n5_a = sum(1 for _, s in kept_a if s == "src5")
+    n5_b = sum(1 for _, s in kept_b if s == "src5")
+    assert n5_b >= n5_a
+
+
+def test_mixture_sample_plan_is_narrow(spark):
+    """The mix is a pure filter: no Exchange, no join in the plan."""
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    docs = _docs(spark)
+    df = sketch.mixture_sample(docs, {"src1": 500})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    """A doc of corpus-common tokens must score lower per-token NLL
+    than a doc of corpus-unique tokens, and the integer invariants
+    must hold."""
+    docs = _docs(spark)
+    extra = docs.limit(1).select(
+        F.lit(999_998).alias("doc_id"),
+        F.lit("the the the the").alias("text"),
+        "lang", "source", "n_chars",
+    ).unionByName(
+        docs.limit(1).select(
+            F.lit(999_999).alias("doc_id"),
+            F.lit("zqxj kwvp mznr gftb").alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.unigram_logprob(
+            docs.unionByName(extra)
+        ).collect()
+    }
+    common, rare = out[999_998], out[999_999]
+    assert common["nll_per_tok_micro"] < rare["nll_per_tok_micro"]
+    for r in (common, rare):
+        assert r["n_tokens"] == 4
+        assert r["nll_per_tok_micro"] == r["nll_micro_sum"] // 4
