@@ -1252,6 +1252,14 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.vocab_topk(docs).select(
+        "rank", "tok", "count", "cum_permille"
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1314,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "mixture_sample": q_mixture_sample,
         "unigram_logprob": q_unigram_logprob,
+        "vocab_topk": q_vocab_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -1789,6 +1798,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_per_tok_micro
 FROM tok JOIN vocab USING (tok)
 GROUP BY doc_id""",
+        "vocab_topk": """WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS T FROM freq),
+top AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank,
+       tok, CAST(c AS BIGINT) AS count,
+       CAST((1000 * sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING))
+            // (SELECT T FROM tot) AS BIGINT) AS cum_permille
+FROM top""",
         "shard_assign": f"""WITH h AS (
   SELECT doc_id,
          ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#s4'")}) AS hv

@@ -196,6 +196,42 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with rank
+    and cumulative coverage (integer permille) — the profiling step
+    before tokenizer/BPE training and the input to stopword and
+    heavy-hitter decisions.
+
+    Scale: token counts are one partial-agg groupBy; the top-k is
+    orderBy().limit(k) which Spark executes as TakeOrderedAndProject
+    (per-partition heaps + a k-row driver-side merge, never a global
+    sort — the kmv_distinct shape).  The cumulative window runs over
+    k rows only.  Ties break on the token string so ranks are total.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("T"))
+    top = (
+        freq.orderBy(F.desc("c"), "tok")
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "tok"))
+        .cast("int")
+        .alias("rank"),
+        "tok",
+        F.col("c").cast("bigint").alias("count"),
+        F.expr("(1000 * sum(c) OVER (ORDER BY c DESC, tok "
+               "ROWS UNBOUNDED PRECEDING)) DIV T")
+        .cast("bigint")
+        .alias("cum_permille"),
+    )
+
+
 # PII redaction patterns — shared verbatim with the DuckDB oracle, so
 # every construct must behave identically in Java regex and RE2
 # (no backreferences, no lookaround)

@@ -565,3 +565,19 @@ def test_unigram_logprob_orders_common_vs_rare(spark):
     for r in (common, rare):
         assert r["n_tokens"] == 4
         assert r["nll_per_tok_micro"] == r["nll_micro_sum"] // 4
+
+
+def test_vocab_topk_plan_and_semantics(spark):
+    """Top-k must be TakeOrderedAndProject (never a global sort of
+    the vocab), ranks dense 1..k, counts non-increasing, cumulative
+    coverage monotone."""
+    docs = _docs(spark)
+    df = textstats.vocab_topk(docs, k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    counts = [r["count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    cum = [r["cum_permille"] for r in rows]
+    assert cum == sorted(cum) and 0 < cum[-1] <= 1000
