@@ -1211,6 +1211,35 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_tables(spark, sf_dir):
+    """Two-table as-of join: 'view' events attach the latest
+    same-or-earlier 'purchase' per user.  Spark runs the tagged-union
+    window composition (no inequality join); the oracle is DuckDB's
+    NATIVE ASOF JOIN operator — an entirely independent algorithm.
+    The right side is pre-aggregated to unique (user_id, ts) with
+    max_by so the as-of target is deterministic in both engines."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.asof_join_tables(left, right, right_cols=("value",))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "asof_value",
+        "asof_ts",
+    )
+
+
 def q_repetition_metrics(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1318,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "asof_tables": q_asof_tables,
         "repetition_metrics": q_repetition_metrics,
         "shard_assign": q_shard_assign,
         "mixture_sample": q_mixture_sample,
@@ -1761,6 +1791,16 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        ts, event_type, value, asof_value, asof_ts,
        CAST((epoch_us(ts) - epoch_us(asof_ts)) // 1000000 AS BIGINT) AS asof_lag_s
 FROM a""",
+        "asof_tables": """WITH r AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       l.ts, r.value AS asof_value, r.ts AS asof_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "repetition_metrics": """WITH w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),

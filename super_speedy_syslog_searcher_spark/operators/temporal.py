@@ -78,6 +78,59 @@ def session_stats(
     )
 
 
+def asof_join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Two-table as-of join without an inequality join: attach to each
+    left row the most recent right row with right.ts <= left.ts for
+    the same key (INCLUSIVE at equal ts — DuckDB/kdb ASOF semantics;
+    asof_attach's single-table form is strict-row-preceding instead).
+
+    Right must be unique per (key, ts) — pre-aggregate if it is not
+    (max_by on a unique id is the deterministic way); with ties the
+    attached row would be arbitrary in any engine.
+
+    Shape: tag right rows prio 0 / left rows prio 1, unionByName,
+    one window last(value, ignorenulls) over rows ordered by
+    (ts, prio) up to the previous row — a right row at the same ts
+    sorts before the left row and is therefore visible.  ONE hash
+    shuffle on the key, candidate set linear in |L|+|R|; the naive
+    `l.ts >= r.ts` join is quadratic per key and is exactly what
+    this operator exists to avoid at 10^12 rows.
+
+    Attached columns come back as `asof_<name>` plus `asof_ts`.
+    """
+    rt = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_prio"),
+        F.col(ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = left.withColumn("_prio", F.lit(1)).unionByName(
+        rt, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_prio")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = u
+    for c in right_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = out.withColumn(
+        "asof_ts", F.last("_r_ts", ignorenulls=True).over(w)
+    )
+    drops = ["_prio", "_r_ts"] + [f"_r_{c}" for c in right_cols]
+    return out.filter(F.col("_prio") == 1).drop(*drops)
+
+
 def asof_attach(
     events: DataFrame, of_type: str = "purchase"
 ) -> DataFrame:

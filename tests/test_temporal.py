@@ -99,3 +99,36 @@ def test_asof_and_sessionize_share_one_shuffle(spark):
         n_exchange = plan.count("Exchange hashpartitioning")
         assert n_exchange == 1, plan
         assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_tables_inclusive_ties_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 7, BASE), (2, 7, _m(10)), (3, 8, BASE)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # one right row exactly AT left #1's ts: inclusive → attaches
+        [(7, BASE, 10.0), (7, _m(5), 20.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in temporal.asof_join_tables(left, right).collect()
+    }
+    assert out[1]["asof_value"] == 10.0 and out[1]["asof_ts"] == BASE
+    assert out[2]["asof_value"] == 20.0 and out[2]["asof_ts"] == _m(5)
+    assert out[3]["asof_value"] is None and out[3]["asof_ts"] is None
+
+
+def test_asof_join_tables_plan_no_inequality_join(spark):
+    left = spark.createDataFrame(
+        [(1, 7, BASE)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, BASE, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    df = temporal.asof_join_tables(left, right)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
