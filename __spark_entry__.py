@@ -965,6 +965,46 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+BOILER1 = (
+    "this message was generated by the automated export pipeline"
+    " and must be ignored by the training run"
+)
+BOILER2 = "copyright notice all rights reserved worldwide second edition printing"
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring (duplicate k-token-gram span) removal under the
+    driver oracle.  Two boilerplate sentences are planted
+    deterministically (doc_id % 5 == 2 gets a 17-token export notice,
+    doc_id % 11 == 7 a 9-token copyright line; docs ≡ 7 mod 55 get
+    both), so corpus-wide duplicate 8-grams exist by construction in
+    both engines; duplicate_spans marks every covered token, merges
+    islands into spans, and rebuilds the excised text."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 2, F.lit(" " + BOILER1)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 7, F.lit(" " + BOILER2)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = dedup.duplicate_spans(aug)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_dup_tokens",
+        "dup_permille",
+        "n_spans",
+        "clean_text",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing (GPT-pretraining shape)
     — the BUCKETED two-level-scan variant (per-bucket running-sum
@@ -1336,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
+        "dup_spans": q_dup_spans,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1969,6 +2010,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
        CAST(len(regexp_extract_all(c2, '\d{8,}')) AS INT) AS n_longnums
 FROM r""",
+        "dup_spans": """WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' this message was generated by the automated export pipeline and must be ignored by the training run'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 7
+                 THEN ' copyright notice all rights reserved worldwide second edition printing'
+                 ELSE '' END AS text
+  FROM documents),
+tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws FROM tw),
+tok2 AS (SELECT doc_id, pos, ws[pos] AS tok FROM tok),
+grams AS (
+  SELECT doc_id, pos,
+         ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3]
+         || ' ' || ws[pos+4] || ' ' || ws[pos+5] || ' ' || ws[pos+6]
+         || ' ' || ws[pos+7] AS gram
+  FROM tok WHERE pos <= len(ws) - 7),
+dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) > 1),
+starts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, pos + j.j AS cpos
+        FROM starts, (SELECT unnest(generate_series(0, 7)) AS j) j),
+isl AS (SELECT doc_id, cpos,
+               cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos) AS island
+        FROM cov),
+cstats AS (SELECT doc_id, count(*) AS n_dup_tokens,
+                  count(DISTINCT island) AS n_spans FROM isl GROUP BY 1),
+clean AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+          WHERE c.doc_id IS NULL GROUP BY 1),
+base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM aug)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(s.n_dup_tokens, 0) AS INT) AS n_dup_tokens,
+       CAST((1000 * COALESCE(s.n_dup_tokens, 0)) // b.n_tokens AS INT) AS dup_permille,
+       CAST(COALESCE(s.n_spans, 0) AS INT) AS n_spans,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM base b LEFT JOIN cstats s USING (doc_id) LEFT JOIN clean c USING (doc_id)""",
         "pack_sequences": """WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents),
 c AS (

@@ -23,7 +23,7 @@ Scale notes (10^12 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 K_MINHASH = 8
@@ -242,6 +242,105 @@ def simhash(docs: DataFrame) -> DataFrame:
         )
         hex_cols.append(F.lower(F.conv(nibble.cast("string"), 10, 16)))
     return sums.select("doc_id", F.concat(*hex_cols).alias("simhash_hex"))
+
+
+DUPSPAN_K = 8
+
+
+def duplicate_spans(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
+    """Corpus-level duplicate-substring removal at token-gram
+    granularity — the exact-substring dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    restricted to whitespace-token k-gram boundaries so it is
+    expressible as pure DataFrame ops (the paper's suffix array is a
+    single-machine structure; the distributed equivalent is exactly
+    this gram-keyed shuffle).
+
+    Any k-token gram occurring more than once in the corpus (across
+    docs or repeated within one) marks every token position it covers
+    as duplicated; per doc the covered positions merge into maximal
+    spans, which are excised from the rebuilt text.  Output one row
+    per doc: (doc_id, n_tokens, n_dup_tokens, dup_permille, n_spans,
+    clean_text) with dup_permille in integer permille (floor) so no
+    float crosses an engine boundary.
+
+    Shape at 10^12 docs:
+      * tokens arrive via posexplode; grams are built with k-1 window
+        ``lead``s over (doc_id, pos) — ONE hash shuffle on doc_id and
+        no per-gram duplication of the token array;
+      * the duplicate test is a gram-keyed count (map-side combine)
+        joined back on the gram; hot grams (stopword runs) are the
+        skew risk — AQE skew-join splits them, and the count side
+        never exceeds one row per distinct gram;
+      * cover explode, island merge, and text rebuild all re-key on
+        doc_id, reusing the first shuffle's partitioning.
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, k)
+    ]
+    grams = (
+        tok.withColumn("_last", F.lead("tok", k - 1).over(w))
+        .withColumn("gram", F.concat_ws(" ", *gram_cols))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("gram")
+    )
+    starts = grams.join(dup, "gram").select("doc_id", "pos")
+    cov = starts.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos"),
+    ).distinct()
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    cstats = (
+        cov.withColumn("island", F.col("pos") - F.row_number().over(wi))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_tokens"),
+            F.countDistinct("island").alias("n_spans"),
+        )
+    )
+    clean = (
+        tok.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok))),"
+                    " s -> s.tok)"
+                ),
+            ).alias("clean_text")
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return (
+        base.join(cstats, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0))
+            .cast("int")
+            .alias("n_dup_tokens"),
+            F.expr(
+                "CAST((1000 * coalesce(n_dup_tokens, 0)) DIV n_tokens"
+                " AS INT)"
+            ).alias("dup_permille"),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
 
 
 def duplicate_clusters(

@@ -581,3 +581,56 @@ def test_vocab_topk_plan_and_semantics(spark):
     assert counts == sorted(counts, reverse=True)
     cum = [r["cum_permille"] for r in rows]
     assert cum == sorted(cum) and 0 < cum[-1] <= 1000
+
+
+def test_duplicate_spans_planted_and_merged(spark):
+    """Exact-substring dedup: a shared 8-gram covers its tokens in
+    every occurrence (incl. twice within one doc -> two spans), spans
+    merge into islands, clean_text excises exactly the covered run,
+    and unique docs pass through untouched."""
+    B = "a b c d e f g h"
+    rows = [
+        (0, "x y " + B + " z"),
+        (1, B + " q r"),
+        (2, "u v w p q r s t"),
+        (3, B + " m " + B),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicate_spans(df).collect()
+    }
+    assert out[0]["clean_text"] == "x y z"
+    assert out[0]["n_spans"] == 1 and out[0]["n_dup_tokens"] == 8
+    assert out[0]["dup_permille"] == 8000 // 11
+    assert out[1]["clean_text"] == "q r"
+    assert out[2]["n_dup_tokens"] == 0 and out[2]["n_spans"] == 0
+    assert out[2]["clean_text"] == "u v w p q r s t"
+    assert out[3]["n_spans"] == 2 and out[3]["n_dup_tokens"] == 16
+    assert out[3]["clean_text"] == "m"
+
+
+def test_duplicate_spans_overlapping_grams_single_island(spark):
+    """A 9-token duplicated run is covered by two overlapping dup
+    8-grams; the cover must merge into ONE island of 9 tokens, not
+    two spans."""
+    R = "a b c d e f g h i"
+    rows = [(0, "x " + R), (1, R + " y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicate_spans(df).collect()
+    }
+    assert out[0]["n_spans"] == 1 and out[0]["n_dup_tokens"] == 9
+    assert out[0]["clean_text"] == "x"
+    assert out[1]["clean_text"] == "y"
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale shape: no cartesian/broadcast-nested-loop anywhere; the
+    gram build uses window leads (no per-gram array duplication)."""
+    docs = _docs(spark)
+    df = dedup.duplicate_spans(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
