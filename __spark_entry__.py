@@ -1005,6 +1005,48 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Snapshot-increment dedup under the driver oracle.  The corpus
+    splits into base (doc_id % 3 != 0) and incoming (doc_id % 3 == 0);
+    incoming docs ≡ 0 mod 30 take the text of base doc (id+1) — exact
+    copies — and docs ≡ 15 mod 30 take base doc (id+2)'s text plus one
+    appended token — near-dup candidates.  Both engines derive the
+    planted texts and the digest/band classification identically."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    n1 = docs.select(
+        (F.col("doc_id") - 1).alias("k1"), F.col("text").alias("t1")
+    )
+    n2 = docs.select(
+        (F.col("doc_id") - 2).alias("k2"), F.col("text").alias("t2")
+    )
+    inc = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .join(n1, F.col("doc_id") == F.col("k1"), "left")
+        .join(n2, F.col("doc_id") == F.col("k2"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 30 == 0, F.coalesce("t1", "text"))
+            .when(
+                F.col("doc_id") % 30 == 15,
+                F.coalesce(
+                    F.concat(F.col("t2"), F.lit(" zzextra")), F.col("text")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = dedup.incremental_dedup(inc, base)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        F.col("base_doc_id").cast("bigint").alias("base_doc_id"),
+        "n_band_hits",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing (GPT-pretraining shape)
     — the BUCKETED two-level-scan variant (per-bucket running-sum
@@ -1377,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_semantic": q_dedup_semantic,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -2010,6 +2053,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
        CAST(len(regexp_extract_all(c2, '\d{8,}')) AS INT) AS n_longnums
 FROM r""",
+        "dedup_incremental": f"""WITH
+base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+inc AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 30 = 0 THEN coalesce(n1.text, d.text)
+              WHEN d.doc_id % 30 = 15 THEN coalesce(n2.text || ' zzextra', d.text)
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN documents n1 ON n1.doc_id = d.doc_id + 1
+  LEFT JOIN documents n2 ON n2.doc_id = d.doc_id + 2
+  WHERE d.doc_id % 3 = 0),
+bi AS (SELECT md5(text) AS digest, min(doc_id) AS base_doc_id FROM base GROUP BY 1),
+ex AS (SELECT i.doc_id, bi.base_doc_id FROM inc i LEFT JOIN bi ON bi.digest = md5(i.text)),
+bw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM base),
+bx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i, ws FROM bw),
+bsh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM bx),
+bsig AS (SELECT doc_id, {minhash_sig} FROM bsh GROUP BY doc_id),
+bband AS (SELECT DISTINCT band, bval FROM (
+  SELECT 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM bsig
+  UNION ALL
+  SELECT 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM bsig) t),
+iw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM inc),
+ix AS (SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i, ws FROM iw),
+ish AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM ix),
+isig AS (SELECT doc_id, {minhash_sig} FROM ish GROUP BY doc_id),
+iband AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM isig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM isig),
+nb AS (SELECT i.doc_id, count(*) AS n_band_hits
+       FROM iband i JOIN bband b ON b.band = i.band AND b.bval = i.bval
+       GROUP BY 1)
+SELECT CAST(ex.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN ex.base_doc_id IS NOT NULL THEN 'exact'
+            WHEN nb.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS status,
+       CAST(ex.base_doc_id AS BIGINT) AS base_doc_id,
+       CAST(COALESCE(nb.n_band_hits, 0) AS INT) AS n_band_hits
+FROM ex LEFT JOIN nb ON nb.doc_id = ex.doc_id""",
         "dup_spans": """WITH aug AS (
   SELECT doc_id,
          text

@@ -74,9 +74,9 @@ def minhash_signatures(docs: DataFrame, k: int = K_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_pairs(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band bucket.
-    band value = md5(concat of the band's minhash rows)."""
+def _band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bval) LSH band keys; band value = md5(concat of
+    the band's minhash rows)."""
     sig = minhash_signatures(docs)
     rows_per_band = K_MINHASH // BANDS
     bands = F.array(
@@ -95,9 +95,14 @@ def minhash_band_pairs(docs: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(bands).alias("bk")
     ).select("doc_id", "bk.band", "bk.bval")
+
+
+def minhash_band_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket."""
+    buckets = _band_buckets(docs)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -340,6 +345,53 @@ def duplicate_spans(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
             F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def incremental_dedup(incoming: DataFrame, base: DataFrame) -> DataFrame:
+    """Snapshot-increment dedup: classify each INCOMING doc against an
+    existing BASE corpus — the daily-ingest shape of a 100 TB
+    pipeline, where the base fingerprint index (text digest + LSH band
+    keys) is a materialized table and only the (much smaller)
+    increment streams through.  Base docs are never compared to each
+    other.
+
+    status per incoming doc: 'exact' (byte-identical text exists in
+    base; base_doc_id = min matching base id), else 'near' (shares at
+    least one minhash band bucket with any base doc), else 'new'.
+    n_band_hits counts colliding (band, bucket) keys either way.
+
+    Scale shape: two hash joins keyed on digest / (band, bval).  The
+    base side is one row per distinct digest and one per doc-band —
+    at 10^12 base docs that index lives as a table bucketed on the
+    join key, so the probe shuffles only the increment; when the
+    increment is broadcast-sized AQE turns both joins into broadcasts
+    with the base streaming map-side.
+    """
+    inc_digest = incoming.select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    base_index = (
+        base.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("base_doc_id"))
+    )
+    exact = inc_digest.join(base_index, "digest", "left")
+    base_bands = _band_buckets(base).select("band", "bval").distinct()
+    near = (
+        _band_buckets(incoming)
+        .join(base_bands, ["band", "bval"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_band_hits"))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("base_doc_id").isNotNull(), F.lit("exact"))
+        .when(F.col("n_band_hits").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.col("base_doc_id").cast("long").alias("base_doc_id"),
+        F.coalesce("n_band_hits", F.lit(0)).cast("int").alias("n_band_hits"),
     )
 
 

@@ -634,3 +634,51 @@ def test_duplicate_spans_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_classification(spark):
+    """Planted exact copy -> 'exact' with min matching base id;
+    disjoint text -> 'new'; every 'near' verdict is witnessed by a
+    shared band bucket and never by a digest match."""
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (5, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "totally different words nothing shared here at all"),
+            (12, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.incremental_dedup(inc, base).collect()
+    }
+    assert out[10]["status"] == "exact" and out[10]["base_doc_id"] == 1
+    assert out[12]["status"] == "exact" and out[12]["base_doc_id"] == 5
+    assert out[11]["status"] == "new" and out[11]["n_band_hits"] == 0
+    assert out[11]["base_doc_id"] is None
+
+
+def test_incremental_dedup_near_witnessed_by_bands(spark):
+    """Over the real sf0.001 corpus split, every 'near' doc must share
+    at least one (band, bval) with the base side, and no 'near' doc
+    may have a digest match (those are 'exact')."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup.incremental_dedup(inc, base)
+    near = out.filter(F.col("status") == "near")
+    assert near.filter(F.col("n_band_hits") <= 0).count() == 0
+    assert near.filter(F.col("base_doc_id").isNotNull()).count() == 0
+    n_inc = inc.count()
+    assert out.count() == n_inc
