@@ -849,6 +849,36 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once repair of an at-least-once source under
+    the driver oracle: the transcript files are written once, then a
+    subset (turn_idx % 7 == 0) is re-delivered as extra files; the
+    dropDuplicatesWithinWatermark stream collapses the redeliveries by
+    text digest.  Output restricted to (digest, text) — identical
+    across copies — so the result is arrival-order independent; the
+    oracle is the batch DISTINCT."""
+    import tempfile
+
+    session.prep(spark)
+    from super_speedy_syslog_searcher_spark.streaming import (
+        pipeline as SP,
+    )
+
+    t = _t(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4stream_dedup_in_")
+    t.write.mode("overwrite").parquet(in_dir)
+    t.filter(F.col("turn_idx") % 7 == 0).write.mode("append").parquet(
+        in_dir
+    )
+    name = "s4_stream_dedup_q"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    SP.run_dedup_to_memory(spark, in_dir, name)
+    return spark.table(name).select("digest", "text")
+
+
 def q_streaming_assembly(spark, sf_dir):
     """Stateful streaming sysline assembly under the driver oracle:
     readStream → parse → applyInPandasWithState continuation attach +
@@ -1399,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": q_sink_counts,
         "hourly_hist": q_hourly_hist,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_dedup": q_streaming_dedup,
         "streaming_assembly": q_streaming_assembly,
         "conv_summary": q_conv_summary,
         "routed_enriched": q_routed_enriched,
@@ -1638,6 +1669,8 @@ SELECT date_trunc('hour', _ts_parsed) AS hour, _sink AS sink,
 FROM exp
 WHERE _ts_parsed IS NOT NULL AND _sink <> 'dmesg_uptime'
 GROUP BY 1, 2""",
+        "streaming_dedup": f"""{b}
+SELECT DISTINCT md5(text) AS digest, text FROM exp""",
         "streaming_assembly": f"""{b}
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
        CAST(msg_turn_idx AS INT) AS msg_turn_idx,

@@ -85,6 +85,40 @@ def run_routed_available_now(
     q.awaitTermination()
 
 
+def dedup_keys(stream: DataFrame, watermark: str = "3650 days") -> DataFrame:
+    """Streaming exact dedup of redelivered lines: an at-least-once
+    source (Kafka redelivery, file re-drop) collapses to exactly-once
+    by text digest.  ``dropDuplicatesWithinWatermark`` keys state on
+    the digest and EVICTS it once event time passes the watermark —
+    bounded state at 10^12 turns, unlike ``dropDuplicates`` whose key
+    store grows forever.  Output is (digest, text) only: every copy of
+    a duplicate carries identical values there, so the result is
+    arrival-order independent (the survivor's other columns would not
+    be)."""
+    return (
+        stream.select("ts", F.md5(F.col("text")).alias("digest"), "text")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest", "text")
+    )
+
+
+def run_dedup_to_memory(
+    spark: SparkSession, in_dir: str, query_name: str
+) -> None:
+    """Drain the source through the streaming dedup into a memory
+    sink (append mode — dedup emits each key's first arrival)."""
+    q = (
+        dedup_keys(stream_source(spark, in_dir))
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_hourly_to_memory(
     spark: SparkSession, in_dir: str, query_name: str
 ) -> None:

@@ -323,3 +323,23 @@ def test_streaming_evtx_incremental_decode(spark, tmp_path):
         got2[got2["source"].str.endswith("b.evtx")]["record_id"].min()
         == 100
     )
+
+
+def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
+    """A redelivered subset of files (at-least-once source) collapses
+    to the batch DISTINCT by text digest; re-delivered rows never
+    reach the sink twice."""
+    in_dir = str(tmp_path / "dd_in")
+    t = transcripts_df(spark, SF_SMOKE).limit(400).cache()
+    t.write.mode("overwrite").parquet(in_dir)
+    # redeliver ~1/7 of the rows as extra files
+    t.filter(F.col("turn_idx") % 7 == 0).write.mode("append").parquet(
+        in_dir
+    )
+    name = "t_stream_dedup"
+    sp.run_dedup_to_memory(spark, in_dir, name)
+    got = spark.table(name)
+    expected = t.select(F.md5("text").alias("digest")).distinct().count()
+    assert got.count() == expected
+    assert got.select("digest").distinct().count() == expected
+    t.unpersist()
