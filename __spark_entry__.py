@@ -1393,6 +1393,22 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Self-trained bigram-LM NLL scoring (conditional MLE, integer
+    micro-nat floor per distinct bigram before the per-doc sum — the
+    unigram_logprob determinism recipe one order up).  Docs with a
+    single token have no bigram and produce no row, identically in
+    both engines."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.bigram_logprob(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bigrams",
+        "nll_micro_sum",
+        "nll_per_bigram_micro",
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1467,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "mixture_sample": q_mixture_sample,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "vocab_topk": q_vocab_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1954,6 +1971,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
        CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_per_tok_micro
 FROM tok JOIN vocab USING (tok)
+GROUP BY doc_id""",
+        "bigram_logprob": """WITH tw AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws FROM tw),
+bg AS (
+  SELECT doc_id, ws[pos] AS w1, ws[pos+1] AS w2
+  FROM tok WHERE pos < len(ws)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+lm AS (
+  SELECT w1, w2,
+         CAST(floor(-1000000.0 * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))) AS BIGINT) AS nll_micro
+  FROM c2 JOIN c1 USING (w1))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
+       CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_per_bigram_micro
+FROM bg JOIN lm USING (w1, w2)
 GROUP BY doc_id""",
         "vocab_topk": """WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -196,6 +196,60 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram language-model scoring, self-trained on the corpus —
+    the next-order sibling of :func:`unigram_logprob`.  Conditional
+    MLE: P(w2|w1) = c(w1,w2) / c_left(w1), where c_left counts w1 as
+    a bigram LEFT element (so the denominator marginalizes exactly
+    over the numerator and the distribution sums to 1 per w1 —
+    no last-token edge mismatch).  Every bigram a doc scores occurs
+    in the corpus by construction, so no backoff is needed.
+
+    Numeric determinism (the unigram_logprob recipe): each DISTINCT
+    bigram's NLL floors to integer micro-nats first
+    (floor(-1e6·ln(c2/c1))), then per-doc sums are exact bigint math;
+    the only float exposure is ln() on identical doubles, guarded by
+    the 1e-6-wide integer floor.
+
+    Scale: bigrams come from one window lead over (doc_id, pos) —
+    one shuffle on doc_id; the bigram frequency table is the distinct
+    bigram set (vocab²-bounded, corpus-sparse) joined back broadcast
+    or, past the threshold, hash-keyed on the bigram."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.lit(-1_000_000.0) * F.log(F.col("c2") / F.col("c1")))
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    return (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro_sum"),
+        )
+        .withColumn(
+            "nll_per_bigram_micro",
+            F.expr("nll_micro_sum DIV n_bigrams").cast("bigint"),
+        )
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus vocabulary head: the k most frequent tokens with rank
     and cumulative coverage (integer permille) — the profiling step

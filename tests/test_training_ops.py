@@ -682,3 +682,29 @@ def test_incremental_dedup_near_witnessed_by_bands(spark):
     assert near.filter(F.col("base_doc_id").isNotNull()).count() == 0
     n_inc = inc.count()
     assert out.count() == n_inc
+
+
+def test_bigram_logprob_predictability_ordering(spark):
+    """Deterministic continuations (P(w2|w1)=1) score NLL exactly 0;
+    a w1 with three equally likely continuations scores ln(3) per
+    such bigram; single-token docs produce no row.  Alphabets are
+    disjoint so the two docs' LMs don't interact."""
+    import math
+
+    rows = [(i, "a b a b a") for i in range(10)]  # b|a, a|b always
+    rows.append((100, "x p x q x r"))  # x has 3 continuations
+    rows.append((200, "lonely"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.bigram_logprob(df).collect()
+    }
+    assert 200 not in out  # no bigram -> no row
+    common, rare = out[0], out[100]
+    assert common["n_bigrams"] == 4 and common["nll_micro_sum"] == 0
+    ln3 = math.floor(1_000_000.0 * math.log(3.0))
+    assert rare["n_bigrams"] == 5 and rare["nll_micro_sum"] == 3 * ln3
+    assert common["nll_per_bigram_micro"] < rare["nll_per_bigram_micro"]
+    assert (
+        rare["nll_per_bigram_micro"] == rare["nll_micro_sum"] // 5
+    )
