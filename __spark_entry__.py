@@ -1202,6 +1202,21 @@ def q_distinct_kmv(spark, sf_dir):
     return sketch.kmv_distinct(toks, "tok", k=256)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact integer order-statistic quantiles of document length
+    (p50/p90/p99 of n_chars in permille ranks) — pure integer math on
+    the distinct-length frequency table, so both engines select the
+    identical threshold values."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sketch.int_quantiles(docs, "n_chars")
+    return out.select(
+        "q_permille",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("value").cast("int").alias("value"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic 10% hash-bucket sample of documents, tallied per
     stratum — the reproducible train/val-split shape (pure narrow
@@ -1475,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "distinct_kmv": q_distinct_kmv,
+        "length_quantiles": q_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -2305,6 +2321,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_transform(generate_series(0, k - 1),
                         i -> substr(hx, i * 32 + 1, 2)), ':') AS frames
 FROM f""",
+        "length_quantiles": """WITH
+freq AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM freq),
+tot AS (SELECT count(*) AS n FROM documents),
+qs AS (SELECT unnest([500, 900, 990]) AS q_permille),
+r AS (SELECT q_permille, (q_permille * n + 999) // 1000 AS k FROM qs, tot)
+SELECT CAST(q_permille AS INT) AS q_permille,
+       CAST(k AS BIGINT) AS k,
+       CAST(min(CASE WHEN cum >= k THEN v END) AS INT) AS value
+FROM r, cum GROUP BY q_permille, k""",
         "distinct_kmv": f"""WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
 h AS (SELECT DISTINCT {_hex13_sql('t')} AS hv FROM tok),

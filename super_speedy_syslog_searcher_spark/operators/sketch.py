@@ -141,3 +141,49 @@ def stratified_sample(
     if the table is bucketed on the same hash)."""
     bucket = _h13(F.col(id_col)) % 100
     return df.filter(bucket < pct)
+
+
+def int_quantiles(
+    df: DataFrame, col: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """EXACT order-statistic quantiles of an integer column,
+    engine-portable — the profiling step behind length-filter
+    thresholds (keep docs under the p99 length, etc.).  Spark's own
+    `percentile_approx` is neither exact nor cross-engine stable, and
+    float interpolation (`percentile_cont`) has engine-specific tie
+    rules; this computes the classic "value at rank ceil(q·n/1000)"
+    statistic in pure integer math instead.
+
+    Output: one row per requested permille q — (q_permille, k, value)
+    where k = ceil(q·n/1000) and value = min v with cum_count(v) >= k.
+
+    Scale shape: the corpus-side work is ONE partial-agg groupBy on
+    the value (map-side combine); everything after runs on the
+    distinct-value frequency table, which is tiny (distinct lengths,
+    not rows).  The cumulative window and the qs×values comparison
+    are driver-scale frames; nothing row-level ever re-shuffles."""
+    from pyspark.sql import Window
+
+    freq = df.groupBy(F.col(col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.withColumn("cum", F.sum("c").over(w))
+    tot = df.agg(F.count("*").alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in qs], "q_permille int")
+    ranks = qdf.crossJoin(F.broadcast(tot)).select(
+        "q_permille",
+        F.expr("CAST((q_permille * n + 999) DIV 1000 AS BIGINT)").alias(
+            "k"
+        ),
+    )
+    return (
+        ranks.crossJoin(cum)
+        .groupBy("q_permille", "k")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("v"))).alias(
+                "value"
+            )
+        )
+    )

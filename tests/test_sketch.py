@@ -71,3 +71,26 @@ def test_stratified_sample_no_shuffle(spark):
     docs = spark.range(1000).select(F.col("id").alias("doc_id"))
     plan = _plan(sketch.stratified_sample(docs, "doc_id", pct=10))
     assert "Exchange" not in plan  # pure narrow filter
+
+
+def test_int_quantiles_exact_order_statistics(spark):
+    """value at rank ceil(q*n/1000) over a known distribution,
+    including heavy ties."""
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    vals = [1, 1, 1, 1, 7, 7, 7, 7, 7, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    out = {
+        r["q_permille"]: r.asDict()
+        for r in sketch.int_quantiles(df, "x").collect()
+    }
+    assert out[500]["k"] == 5 and out[500]["value"] == 7
+    assert out[900]["k"] == 9 and out[900]["value"] == 7
+    assert out[990]["k"] == 10 and out[990]["value"] == 9
+    # distinct values, no ties: rank maps straight through
+    df2 = spark.createDataFrame([(v,) for v in range(1, 11)], "x int")
+    out2 = {
+        r["q_permille"]: r["value"]
+        for r in sketch.int_quantiles(df2, "x").collect()
+    }
+    assert out2 == {500: 5, 900: 9, 990: 10}
