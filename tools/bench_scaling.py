@@ -221,6 +221,14 @@ bench.py measured 5M at 573k turns/s and the 50M point at
 518-611k turns/s across runs (the 50M run is long enough to average
 over drift).
 
+A third standalone bench.py draw later the same day (58-query repo,
+post dup_spans/incremental/streaming-dedup additions) measured the
+best anchors yet: 5M headline 7.61 s = 657 k turns/s (median of 3
+interleaved rounds; raw 7.61/7.56/17.1 s — the median rejected one
+drift round, exactly the estimator's job) and the 50M
+point at 110 s = 455 k turns/s, confirming the estimator's
+round-over-round stability when the box is quiet.
+
 
 * bench.py estimator rebuilt (round-4 verdict item 1): REPS
   interleaved rounds with per-query MEDIANS and raw per-round times
