@@ -708,3 +708,60 @@ def test_bigram_logprob_predictability_ordering(spark):
     assert (
         rare["nll_per_bigram_micro"] == rare["nll_micro_sum"] // 5
     )
+
+
+def _dup_spans_naive(texts: dict[int, str], k: int = 4):
+    """Pure-Python reference for duplicate_spans (token k-grams)."""
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    occ: dict[tuple, int] = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            g = tuple(ws[i : i + k])
+            occ[g] = occ.get(g, 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        cov = set()
+        for i in range(len(ws) - k + 1):
+            if occ[tuple(ws[i : i + k])] > 1:
+                cov.update(range(i, i + k))
+        spans = 0
+        prev = None
+        for p in sorted(cov):
+            if prev is None or p != prev + 1:
+                spans += 1
+            prev = p
+        clean = " ".join(w for i, w in enumerate(ws) if i not in cov)
+        out[d] = {
+            "n_tokens": len(ws),
+            "n_dup_tokens": len(cov),
+            "dup_permille": (1000 * len(cov)) // len(ws),
+            "n_spans": spans,
+            "clean_text": clean,
+        }
+    return out
+
+
+def test_duplicate_spans_random_corpora_match_naive(spark):
+    """duplicate_spans == a naive single-machine reference over
+    random small-alphabet corpora (seeded, 30 corpora) — catches
+    cover/merge/rebuild edge cases fixtures can't enumerate."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(30):
+        n_docs = rng.randint(1, 8)
+        texts = {
+            d: " ".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 14))
+            )
+            for d in range(n_docs)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {}
+        for r in dedup.duplicate_spans(df, k=4).collect():
+            d = r.asDict()
+            got[d.pop("doc_id")] = d
+        want = _dup_spans_naive(texts, k=4)
+        assert got == want, f"trial {trial}: {got} != {want}"
