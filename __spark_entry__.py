@@ -995,6 +995,53 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+BLOCKED_DOMAINS = [
+    "site0.example.org",
+    "site5.example.org",
+    "cdn3.example.net",
+    "evil.example.com",  # in the blocklist, never cited — must not appear
+]
+
+
+def q_domain_profile(spark, sf_dir):
+    """Per-domain URL profile under the driver oracle.  The synthetic
+    documents carry no URLs, so both engines derive the same augmented
+    text (every doc cites https://site{doc_id%13}.example.org; docs
+    with doc_id % 4 == 1 also cite http://cdn{doc_id%7}.example.net),
+    extract hosts with the shared RE2-safe pattern, and aggregate
+    (n_urls, n_docs) per domain; a 4-entry blocklist marks blocked
+    domains via broadcast join."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 13).cast("int"),
+            F.lit(".example.org/p"),
+            F.col("doc_id"),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" and http://cdn"),
+                    (F.col("doc_id") % 7).cast("int"),
+                    F.lit(".example.net/asset"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string"
+    )
+    return textstats.domain_profile(aug, bl).select(
+        "domain",
+        "n_urls",
+        "n_docs",
+        F.col("blocked").cast("int").alias("blocked"),
+    )
+
+
 BOILER1 = (
     "this message was generated by the automated export pipeline"
     " and must be ignored by the training run"
@@ -1479,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "domain_profile": q_domain_profile,
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
         "dedup_incremental": q_dedup_incremental,
@@ -2137,6 +2185,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
        CAST(len(regexp_extract_all(c2, '\d{8,}')) AS INT) AS n_longnums
 FROM r""",
+        "domain_profile": """WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 13 AS VARCHAR)
+              || '.example.org/p' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 4 = 1
+                      THEN ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.example.net/asset'
+                      ELSE '' END AS text
+  FROM documents),
+cites AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+         'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM aug)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CASE WHEN domain IN ('site0.example.org', 'site5.example.org',
+                            'cdn3.example.net', 'evil.example.com')
+            THEN 1 ELSE 0 END AS blocked
+FROM cites GROUP BY 1""",
         "dedup_incremental": f"""WITH
 base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
 inc AS (

@@ -294,6 +294,55 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_LONGNUM_RE = r"\d{8,}"
 
 
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def domain_profile(
+    docs: DataFrame, blocklist: DataFrame | None = None
+) -> DataFrame:
+    """Per-domain URL profile of the corpus — the input to
+    domain-level mixing/blocking decisions in a web-scale pipeline
+    (how much of the corpus cites each domain, and is it blocked).
+
+    Extracts every http(s) URL's host with one regexp_extract_all
+    (RE2-safe pattern shared with the DuckDB oracle), explodes to one
+    row per citation, and aggregates (n_urls, n_docs) per domain;
+    `blocklist` (a small one-column `domain` frame) marks blocked
+    domains via broadcast left join — zero corpus-side shuffle beyond
+    the domain-keyed count.
+
+    Scale: the explode is bounded by citations per doc; the groupBy
+    keys on the domain (map-side combine; hot domains are exactly the
+    point of the report).  The blocklist is dimension-sized →
+    broadcast."""
+    cites = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_DOMAIN_RE), 1)
+        ).alias("domain"),
+    )
+    prof = cites.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    if blocklist is None:
+        return prof.withColumn("blocked", F.lit(False))
+    bl = blocklist.select(
+        F.col("domain").alias("_bdom"), F.lit(True).alias("_blk")
+    ).distinct()
+    return (
+        prof.join(
+            F.broadcast(bl), prof["domain"] == bl["_bdom"], "left"
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_docs",
+            F.coalesce("_blk", F.lit(False)).alias("blocked"),
+        )
+    )
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     """PII scrubbing — the standard pretraining-corpus redaction gate:
     emails → <EMAIL>, IPv4 literals → <IP>, 8+-digit runs

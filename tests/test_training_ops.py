@@ -765,3 +765,35 @@ def test_duplicate_spans_random_corpora_match_naive(spark):
             got[d.pop("doc_id")] = d
         want = _dup_spans_naive(texts, k=4)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_domain_profile_counts_and_blocklist(spark):
+    """n_urls counts citations, n_docs distinct citing docs; the
+    blocklist marks exactly its cited members; uncited blocklist
+    entries never appear; the blocklist join is a BroadcastHashJoin."""
+    rows = [
+        (0, "see https://a.example.org/x and http://a.example.org/y"),
+        (1, "also https://a.example.org/z plus http://b.example.net/"),
+        (2, "no urls here at all"),
+        (3, "ftp://not-http.example.com and https://c.example.io/p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bl = spark.createDataFrame(
+        [("b.example.net",), ("never.example.gov",)], "domain string"
+    )
+    out = textstats.domain_profile(docs, bl)
+    got = {r["domain"]: r for r in out.collect()}
+    assert set(got) == {"a.example.org", "b.example.net", "c.example.io"}
+    assert got["a.example.org"]["n_urls"] == 3
+    assert got["a.example.org"]["n_docs"] == 2
+    assert got["b.example.net"]["n_urls"] == 1
+    assert not got["a.example.org"]["blocked"]
+    assert got["b.example.net"]["blocked"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    no_bl = {
+        r["domain"]: r for r in textstats.domain_profile(docs).collect()
+    }
+    assert set(no_bl) == set(got)
+    assert not any(r["blocked"] for r in no_bl.values())
