@@ -1042,6 +1042,21 @@ def q_domain_profile(spark, sf_dir):
     )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints of every document — the
+    guarantee-carrying selection (any shared ≥ w+k-1-token substring
+    shares a fingerprint) computed by both engines through the same
+    packed-integer min-per-window, no augmentation needed."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.winnow_fingerprints(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("fp_pos").cast("int").alias("fp_pos"),
+        F.col("fp_hash").cast("bigint").alias("fp_hash"),
+    )
+
+
 BOILER1 = (
     "this message was generated by the automated export pipeline"
     " and must be ignored by the training run"
@@ -1527,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "domain_profile": q_domain_profile,
+        "winnow": q_winnow,
         "pack_sequences": q_pack_sequences,
         "dup_spans": q_dup_spans,
         "dedup_incremental": q_dedup_incremental,
@@ -2205,6 +2221,31 @@ SELECT domain,
                             'cdn3.example.net', 'evil.example.com')
             THEN 1 ELSE 0 END AS blocked
 FROM cites GROUP BY 1""",
+        "winnow": f"""WITH tw AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws
+  FROM tw),
+gr AS (
+  SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+         || ws[i+3] || ' ' || ws[i+4] AS gram
+  FROM g),
+gh AS (
+  SELECT doc_id, i - 1 AS pos,
+         (({_hex13_sql('gram')}) % 1099511627776) * 4194304
+           + (2097151 - (i - 1)) AS packed
+  FROM gr),
+sel AS (
+  SELECT doc_id, pos,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_h
+  FROM gh)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2097151 - (wmin % 4194304) AS INT) AS fp_pos,
+       CAST(wmin // 4194304 AS BIGINT) AS fp_hash
+FROM sel
+WHERE pos <= n_h - 4 OR (n_h < 4 AND pos = 0)""",
         "dedup_incremental": f"""WITH
 base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
 inc AS (

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from super_speedy_syslog_searcher_spark.operators.sketch import _h13
+
 K_MINHASH = 8
 BANDS = 2  # 2 bands x 4 rows
 SHINGLE_W = 3
@@ -346,6 +348,84 @@ def duplicate_spans(docs: DataFrame, k: int = DUPSPAN_K) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # consecutive gram hashes per winnowing window
+_WPOS_BITS = 21  # gram position < 2^21 (≈2M tokens/doc) fits the pack
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm) at token k-gram granularity: hash every
+    k-token gram, slide a window of w consecutive hashes, and in each
+    window select the minimum hash (rightmost on ties).  Any shared
+    substring of ≥ w+k-1 tokens between two documents is guaranteed
+    to share at least one selected fingerprint — the local-
+    fingerprinting complement to MinHash (whole-doc resemblance) and
+    duplicate_spans (exact corpus-wide gram census).
+
+    Output: one row per distinct selected fingerprint
+    (doc_id, fp_pos, fp_hash) with fp_pos the 0-based gram position.
+
+    Engine-portable selection: the 40-bit md5 gram hash and the
+    position pack into ONE bigint — ``h*2^22 + (2^21-1-pos)`` — so
+    "min hash, rightmost on ties" is a plain integer ``min`` over a
+    leading row frame; both Spark and the SQL oracle compute the
+    identical packed value and decode it afterwards.  Docs with fewer
+    than w grams yield their single all-gram window (pos 0).
+
+    Shape at 10^12 docs: ONE hash shuffle on doc_id feeds the gram
+    window, the winnow frame, and the per-doc gram count — Spark
+    reuses the single Exchange for all three window specs; the
+    distinct re-keys on (doc_id, fp_pos, fp_hash) whose prefix is the
+    same key, and everything upstream of it is narrow."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", j).over(ws) for j in range(1, k)
+    ]
+    pos_ceil = 1 << _WPOS_BITS
+    grams = (
+        # the gram must be materialized BEFORE the tail filter: window
+        # leads evaluated after it would see the filtered relation and
+        # truncate the last k-1 grams
+        tok.withColumn("_last", F.lead("tok", k - 1).over(ws))
+        .withColumn("gram", F.concat_ws(" ", *gram_cols))
+        .filter(F.col("_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (_h13(F.col("gram")) % (1 << 40)) * (pos_ceil * 2)
+                + (F.lit(pos_ceil - 1) - F.col("pos"))
+            ).alias("packed"),
+        )
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wd = Window.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("wmin", F.min("packed").over(wf))
+        .withColumn("n_h", F.count("*").over(wd))
+        .filter(
+            (F.col("pos") <= F.col("n_h") - w)
+            | ((F.col("n_h") < w) & (F.col("pos") == 0))
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST(wmin DIV {pos_ceil * 2} AS BIGINT)").alias(
+                "fp_hash"
+            ),
+            F.expr(f"CAST({pos_ceil - 1} - wmin % {pos_ceil * 2} AS INT)")
+            .alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel.select("doc_id", "fp_pos", "fp_hash")
 
 
 def incremental_dedup(incoming: DataFrame, base: DataFrame) -> DataFrame:

@@ -797,3 +797,81 @@ def test_domain_profile_counts_and_blocklist(spark):
     }
     assert set(no_bl) == set(got)
     assert not any(r["blocked"] for r in no_bl.values())
+
+
+def _winnow_naive(texts, k=5, w=4):
+    """Single-machine reference winnow (Schleimer et al. 2003):
+    min-hash per window of w gram hashes, rightmost on ties."""
+    import hashlib
+
+    def h40(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % (1 << 40)
+
+    fps = set()
+    for d, t in texts.items():
+        ws = t.split(" ")
+        hs = [h40(" ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)]
+        n = len(hs)
+        if n == 0:
+            continue
+        starts = range(n - w + 1) if n >= w else [0]
+        width = w if n >= w else n
+        for j in starts:
+            m = min(hs[j : j + width])
+            p = max(i for i in range(j, j + width) if hs[i] == m)
+            fps.add((d, p, hs[p]))
+    return fps
+
+
+def test_winnow_random_corpora_match_naive(spark):
+    """Randomized equivalence: the distributed winnow selects exactly
+    the naive reference's fingerprints, including short docs (n_h < w)
+    and tie-heavy repetitive docs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(20):
+        texts = {
+            d: " ".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 20))
+            )
+            for d in range(rng.randint(1, 6))
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["fp_pos"], r["fp_hash"])
+            for r in dedup.winnow_fingerprints(df, k=3, w=3).collect()
+        }
+        want = _winnow_naive(texts, k=3, w=3)
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing charge: two docs sharing >= w+k-1 consecutive
+    tokens (one full shared window) must share a fingerprint hash."""
+    shared = "q w e r t y u i"  # 8 tokens = w+k-1 for k=5, w=4
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, "one two three four " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df).collect()
+    h1 = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["fp_hash"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2, (h1, h2)
+
+
+def test_winnow_plan_single_exchange_before_distinct(spark):
+    """All three window specs share one doc_id Exchange; only the
+    final distinct adds a second."""
+    docs = _docs(spark)
+    plan = (
+        dedup.winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, plan
