@@ -20,6 +20,7 @@ from super_speedy_syslog_searcher_spark import pipeline as P
 from super_speedy_syslog_searcher_spark import session
 from super_speedy_syslog_searcher_spark.datagen import transcripts_df
 from super_speedy_syslog_searcher_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     similarity,
@@ -1057,6 +1058,33 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Weighted adjacent character-pair counts over the corpus — the
+    statistic the first BPE merge maximizes; the explode runs on the
+    distinct-token table, never the corpus."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.pair_counts(docs).select(
+        "pair", F.col("n").cast("bigint").alias("n")
+    )
+
+
+def q_bpe_train(spark, sf_dir):
+    """Deterministic BPE merge training (8 merges) — genuinely
+    iterative (each merge depends on the table the previous one
+    rewrote), so there is no single-statement SQL oracle; the driver
+    records the rows-only check and pytest pins equivalence against a
+    naive single-machine trainer on randomized corpora."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.train_bpe(docs, n_merges=8).select(
+        F.col("rank").cast("int").alias("rank"),
+        "left",
+        "right",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 BOILER1 = (
     "this message was generated by the automated export pipeline"
     " and must be ignored by the training run"
@@ -1565,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
     }
@@ -2070,6 +2100,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_per_bigram_micro
 FROM bg JOIN lm USING (w1, w2)
 GROUP BY doc_id""",
+        # bpe_train has no oracle entry: merge training is genuinely
+        # iterative (merge k rewrites the table merge k+1 counts over),
+        # so no single SQL statement expresses it; the driver records
+        # the rows-only check and tests/test_bpe.py pins equivalence
+        # against a naive single-machine trainer on randomized corpora.
+        "bpe_pairs": """WITH tok AS (
+  SELECT t.tok AS tok FROM documents,
+         unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 0),
+wc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+pairs AS (
+  SELECT substring(tok, i.i, 2) AS pair, cnt
+  FROM wc, unnest(range(1, length(tok))) AS i(i)
+  WHERE length(tok) >= 2)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY pair""",
         "vocab_topk": """WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
 freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
