@@ -1058,6 +1058,15 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021): per-doc
+    rule flags + combined keep decision, all thresholds evaluated by
+    integer cross-multiplication (engine-portable, no floats)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.gopher_quality(docs)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1594,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
+        "gopher_quality": q_gopher_quality,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2105,6 +2115,50 @@ GROUP BY doc_id""",
         # so no single SQL statement expresses it; the driver records
         # the rows-only check and tests/test_bpe.py pins equivalence
         # against a naive single-machine trainer on randomized corpora.
+        "gopher_quality": """WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+         AS BIGINT) AS word_chars,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+         l -> substring(l, 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell,
+    CAST(len(list_filter(words,
+         w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+    ) AS n_stop
+  FROM base),
+f AS (
+  SELECT doc_id, n_words,
+    CAST(n_words BETWEEN 50 AND 100000 AS INT) AS flag_word_count,
+    CAST(word_chars >= 3 * n_words
+         AND word_chars <= 10 * n_words AS INT) AS flag_mean_word_len,
+    CAST(10 * n_symbols < n_words AS INT) AS flag_symbol_ratio,
+    CAST(10 * n_bullet < 9 * n_lines AS INT) AS flag_bullet_lines,
+    CAST(10 * n_ell < 3 * n_lines AS INT) AS flag_ellipsis_lines,
+    CAST(10 * n_alpha >= 8 * n_words AS INT) AS flag_alpha_words,
+    CAST(n_stop >= 2 AS INT) AS flag_stop_words
+  FROM m)
+SELECT *, CAST(flag_word_count * flag_mean_word_len * flag_symbol_ratio
+       * flag_bullet_lines * flag_ellipsis_lines * flag_alpha_words
+       * flag_stop_words AS INT) AS keep
+FROM f""",
         "bpe_pairs": """WITH tok AS (
   SELECT t.tok AS tok FROM documents,
          unnest(string_split(text, ' ')) AS t(tok)

@@ -343,6 +343,82 @@ def domain_profile(
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame, min_words: int = 50, max_words: int = 100_000
+) -> DataFrame:
+    """Gopher corpus-quality rules (Rae et al. 2021 §A1.1) as per-doc
+    flags plus the combined keep decision — the canonical rule-based
+    pretraining filter:
+
+      word_count     min_words <= n <= max_words
+      mean_word_len  3 <= mean chars/word <= 10
+      symbol_ratio   (#'#' + #'...') / words < 0.1
+      bullet_lines   < 90% of lines start with a bullet
+      ellipsis_lines < 30% of lines end with '...'
+      alpha_words    >= 80% of words contain an alphabetic char
+      stop_words     >= 2 distinct words from Gopher's 8-word stop set
+
+    Every ratio threshold is evaluated by integer cross-multiplication
+    (e.g. ``10*symbols < n_words``) — zero floats, so two engines
+    agree bit-for-bit and the keep column is hash-stable.  Pure
+    built-in expressions: WholeStageCodegen, row-parallel at 10^12
+    docs, no shuffle at all."""
+    words = F.expr("filter(split(text, ' '), w -> w <> '')")
+    n_words = F.size(words)
+    word_chars = F.expr(
+        "aggregate(filter(split(text, ' '), w -> w <> ''),"
+        " 0L, (a, w) -> a + char_length(w))"
+    )
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace("text", F.lit("...")))
+    ) / 3
+    n_symbols = (n_hash + n_ellipsis).cast("bigint")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.expr(
+            r"""filter(split(text, '\n'),
+                l -> substring(l, 1, 1) IN ('-', '*', '•'))"""
+        )
+    )
+    n_ell_end = F.size(
+        F.expr(r"filter(split(text, '\n'), l -> l LIKE '%...')")
+    )
+    n_alpha = F.size(
+        F.expr(
+            "filter(filter(split(text, ' '), w -> w <> ''),"
+            " w -> w rlike '[A-Za-z]')"
+        )
+    )
+    n_stop = sum(
+        F.array_contains(words, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    f_wc = (n_words >= min_words) & (n_words <= max_words)
+    f_mwl = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    f_sym = 10 * n_symbols < n_words
+    f_bul = 10 * n_bullet < 9 * n_lines
+    f_ell = 10 * n_ell_end < 3 * n_lines
+    f_alpha = 10 * n_alpha >= 8 * n_words
+    f_stop = n_stop >= 2
+    keep = f_wc & f_mwl & f_sym & f_bul & f_ell & f_alpha & f_stop
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        f_wc.cast("int").alias("flag_word_count"),
+        f_mwl.cast("int").alias("flag_mean_word_len"),
+        f_sym.cast("int").alias("flag_symbol_ratio"),
+        f_bul.cast("int").alias("flag_bullet_lines"),
+        f_ell.cast("int").alias("flag_ellipsis_lines"),
+        f_alpha.cast("int").alias("flag_alpha_words"),
+        f_stop.cast("int").alias("flag_stop_words"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     """PII scrubbing — the standard pretraining-corpus redaction gate:
     emails → <EMAIL>, IPv4 literals → <IP>, 8+-digit runs

@@ -875,3 +875,91 @@ def test_winnow_plan_single_exchange_before_distinct(spark):
     )
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 2, plan
+
+
+# ---------------------------------------------------------------- gopher
+def _gq(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in textstats.gopher_quality(df, **kw).collect()
+    }
+
+
+def test_gopher_each_rule_fires_both_ways(spark):
+    """One doc per rule violating exactly that rule, plus a clean doc
+    that passes all seven (Rae et al. 2021 A1.1 thresholds)."""
+    good = "the cat sat with all of " + " ".join(
+        ["word"] * 60
+    )  # 66 words, stopwords the/with/of, all alpha
+    texts = [
+        good,
+        "the of " + " ".join(["word"] * 3),  # 5 words: word_count
+        "the of " + " ".join(["ax"] * 60),  # mean word len 2.07 < 3
+        "the of " + " ".join(["#"] * 60),  # symbols AND alpha fail
+        "the of " + "\n".join(["- bullet line here"] * 10)
+        + " " + " ".join(["word"] * 50),  # >=90% bullet lines
+        "the of " + "\n".join(["line ends in ..."] * 10)
+        + " " + " ".join(["word"] * 50),  # ellipsis lines
+        "the of " + " ".join(["1234"] * 60),  # alpha_words
+        " ".join(["word"] * 60),  # no stopwords
+    ]
+    r = _gq(spark, texts)
+    assert r[0]["keep"] == 1 and all(
+        v == 1 for k, v in r[0].items() if k.startswith("flag_")
+    )
+    assert (r[1]["flag_word_count"], r[1]["keep"]) == (0, 0)
+    assert (r[2]["flag_mean_word_len"], r[2]["keep"]) == (0, 0)
+    assert r[3]["flag_symbol_ratio"] == 0 and r[3]["keep"] == 0
+    assert (r[4]["flag_bullet_lines"], r[4]["keep"]) == (0, 0)
+    assert (r[5]["flag_ellipsis_lines"], r[5]["keep"]) == (0, 0)
+    assert (r[6]["flag_alpha_words"], r[6]["keep"]) == (0, 0)
+    assert (r[7]["flag_stop_words"], r[7]["keep"]) == (0, 0)
+    # the violating docs still pass the rules they don't target
+    assert r[1]["flag_mean_word_len"] == 1
+    assert r[7]["flag_alpha_words"] == 1
+
+
+def test_gopher_threshold_boundaries(spark):
+    """Integer cross-multiplication puts the boundary exactly where
+    the paper's ratio threshold does."""
+    # exactly 50 words passes, 49 fails (inclusive bounds)
+    r = _gq(spark, [" ".join(["the"] * 48 + ["of", "ok"]),
+                    " ".join(["the"] * 47 + ["of", "ok"])])
+    assert r[0]["n_words"] == 50 and r[0]["flag_word_count"] == 1
+    assert r[1]["n_words"] == 49 and r[1]["flag_word_count"] == 0
+    # symbol ratio: 10*symbols < n_words  => 6 hashes in 60 words
+    # is ratio 0.1 -> FAIL (strict), 5 in 60 passes
+    base = ["the", "of"] + ["word"] * 58
+    r = _gq(spark, [" ".join(base + ["#"] * 6 + ["pad"] * 0)])
+    # 66 words, 6 symbols -> 60 < 66 passes; craft exact 0.1:
+    r = _gq(spark, [" ".join(["the", "of"] + ["w"] * 48 + ["#"] * 5),
+                    " ".join(["the", "of"] + ["w"] * 44 + ["#"] * 6)])
+    assert r[0]["n_words"] == 55 and r[0]["flag_symbol_ratio"] == 1
+    assert r[1]["n_words"] == 52 and r[1]["flag_symbol_ratio"] == 0
+    # mean word len exactly 3 and exactly 10 pass (inclusive)
+    r = _gq(spark, [" ".join(["abc"] * 51 + ["the", "and"]),
+                    " ".join(["a" * 10] * 50 + ["theworldly", "ofofofofof",
+                                                "andandanda"])])
+    assert r[0]["flag_mean_word_len"] == 1
+    assert r[1]["flag_mean_word_len"] == 1
+
+
+def test_gopher_multispace_and_empty(spark):
+    """Double spaces produce empty split cells — filtered before any
+    count; empty text keeps n_words 0 without dividing by zero."""
+    r = _gq(spark, ["the  of   " + "  ".join(["word"] * 60), ""])
+    assert r[0]["n_words"] == 62
+    assert r[0]["keep"] == 1
+    assert r[1]["n_words"] == 0 and r[1]["keep"] == 0
+
+
+def test_gopher_plan_no_shuffle(spark):
+    docs = _docs(spark)
+    plan = (
+        textstats.gopher_quality(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
