@@ -1067,6 +1067,14 @@ def q_gopher_quality(spark, sf_dir):
     return textstats.gopher_quality(docs)
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 tf-idf terms per document (linear idf N/df — mul/div
+    only, engine-portable integer-scaled score)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.tfidf_topk(docs, k=5)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1604,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
         "gopher_quality": q_gopher_quality,
+        "tfidf_topk": q_tfidf_topk,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2115,6 +2124,22 @@ GROUP BY doc_id""",
         # so no single SQL statement expresses it; the driver records
         # the rows-only check and tests/test_bpe.py pins equivalence
         # against a naive single-machine trainer on randomized corpora.
+        "tfidf_topk": """WITH w AS (
+  SELECT doc_id, t.tok AS tok FROM documents,
+         unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, tok, tf, df,
+             CAST(tf AS DOUBLE) * (SELECT n FROM n) / df AS score
+      FROM tf JOIN df USING (tok)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM r WHERE rank <= 5""",
         "gopher_quality": """WITH base AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), w -> w <> '') AS words,

@@ -343,6 +343,51 @@ def domain_profile(
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by tf-idf — the classic keyword /
+    topic-signal extraction over a corpus.  idf is the LINEAR form
+    N/df (not log N/df): tf·N/df involves only IEEE-exact multiply
+    and divide, so two engines produce bit-identical scores and the
+    hashed score column is portable; the ranking it induces equals
+    the log form's whenever tf is constant and is the standard
+    "raw idf" variant otherwise (documented deviation).
+
+    Scale shape: tf = groupBy(doc_id, tok) with map-side combine;
+    df = groupBy(tok) over the (doc, tok) table (distinct by
+    construction); the join back is keyed on tok (shuffle join — the
+    vocabulary is NOT assumed broadcastable at 10^12 docs); top-k is
+    a row_number window over doc_id, never a global sort."""
+    n = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).alias("tok"),
+    )
+    tf = words.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    score = F.col("tf") * F.lit(float(n)) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "tok",
+            "tf",
+            "df",
+            F.floor(F.col("score") * 10000 + 0.5)
+            .cast("bigint")
+            .alias("score_x1e4"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -963,3 +963,46 @@ def test_gopher_plan_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- tfidf
+def test_tfidf_unique_term_outranks_ubiquitous(spark):
+    """A doc-unique term (df=1) must outrank a same-tf term that
+    appears in every doc (idf = N/df ordering)."""
+    df = spark.createDataFrame(
+        [
+            (0, "common common rare rare"),
+            (1, "common common other other"),
+            (2, "common filler filler pad"),
+        ],
+        "doc_id bigint, text string",
+    )
+    top = {
+        (r["doc_id"], r["rank"]): r
+        for r in textstats.tfidf_topk(df, k=2).collect()
+    }
+    assert top[(0, 1)]["tok"] == "rare"       # tf=2, df=1 -> 6.0
+    assert top[(0, 2)]["tok"] == "common"     # tf=2, df=3 -> 2.0
+    assert top[(0, 1)]["score_x1e4"] == 60000
+    assert top[(0, 2)]["score_x1e4"] == 20000
+
+
+def test_tfidf_tie_breaks_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(0, "bbb aaa"), (1, "zzz yyy")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["rank"], r["tok"])
+        for r in textstats.tfidf_topk(df, k=2).collect()
+    )
+    # identical tf=1, df=1 scores -> lexicographic rank order
+    assert rows == [
+        (0, 1, "aaa"), (0, 2, "bbb"), (1, 1, "yyy"), (1, 2, "zzz")
+    ]
+
+
+def test_tfidf_k_caps_output(spark):
+    docs = _docs(spark)
+    out = textstats.tfidf_topk(docs, k=3)
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()
+    assert per_doc[0][0] <= 3
