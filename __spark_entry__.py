@@ -21,6 +21,7 @@ from super_speedy_syslog_searcher_spark import session
 from super_speedy_syslog_searcher_spark.datagen import transcripts_df
 from super_speedy_syslog_searcher_spark.operators import (
     bpe,
+    cluster,
     dedup,
     multimodal,
     similarity,
@@ -1075,6 +1076,15 @@ def q_tfidf_topk(spark, sf_dir):
     return textstats.tfidf_topk(docs, k=5)
 
 
+def q_kmeans_embed(spark, sf_dir):
+    """Lloyd's k-means (k=8, 4 iterations) over the embedding table in
+    fixed-point integer arithmetic — iterative yet hash-checkable: the
+    DuckDB oracle replays the identical iterations as chained CTEs."""
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.kmeans_embed(emb, k=8, n_iter=4)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1613,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,
+        "kmeans_embed": q_kmeans_embed,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2124,6 +2135,7 @@ GROUP BY doc_id""",
         # so no single SQL statement expresses it; the driver records
         # the rows-only check and tests/test_bpe.py pins equivalence
         # against a naive single-machine trainer on randomized corpora.
+        "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
         "tfidf_topk": """WITH w AS (
   SELECT doc_id, t.tok AS tok FROM documents,
          unnest(string_split(text, ' ')) AS t(tok)

@@ -1006,3 +1006,102 @@ def test_tfidf_k_caps_output(spark):
     out = textstats.tfidf_topk(docs, k=3)
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()
     assert per_doc[0][0] <= 3
+
+
+# ---------------------------------------------------------------- kmeans
+def _naive_kmeans(vecs, k, n_iter):
+    """Single-machine replay of the fixed-point Lloyd's in
+    operators/cluster.py (quantize once, integer distances, trunc-div
+    means, ties to smallest cid, empties carry over)."""
+    from super_speedy_syslog_searcher_spark.operators.cluster import (
+        KM_SCALE,
+        _trunc_div,
+    )
+    import math
+
+    q = {
+        vid: [int(math.floor(float(x) * KM_SCALE + 0.5)) for x in v]
+        for vid, v in vecs.items()
+    }
+    cents = [list(q[vid]) for vid in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for vid, vec in q.items():
+            best = None
+            for cid, c in enumerate(cents):
+                d = sum((x - y) * (x - y) for x, y in zip(vec, c))
+                if best is None or (d, cid) < best[:2]:
+                    best = (d, cid)
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        sums = {}
+        for vid, (cid, _d) in a.items():
+            s, c = sums.setdefault(cid, ([0] * len(q[vid]), 0))
+            for i, x in enumerate(q[vid]):
+                s[i] += x
+            sums[cid] = (s, c + 1)
+        for cid, (s, c) in sums.items():
+            cents[cid] = [_trunc_div(x, c) for x in s]
+    return assign()
+
+
+def test_kmeans_random_matches_naive(spark):
+    import random
+
+    from super_speedy_syslog_searcher_spark.operators import cluster
+
+    rng = random.Random(17)
+    for trial in range(3):
+        vecs = {
+            vid: [rng.uniform(-1, 1) for _ in range(6)]
+            for vid in range(30)
+        }
+        df = spark.createDataFrame(
+            [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+            "vec_id bigint, embedding array<float>",
+        )
+        # quantization happens from float32 values — mirror that
+        import numpy as np
+
+        vecs32 = {
+            vid: [float(np.float32(x)) for x in v]
+            for vid, v in vecs.items()
+        }
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist_sq"])
+            for r in cluster.kmeans_embed(df, k=4, n_iter=3).collect()
+        }
+        want = _naive_kmeans(vecs32, 4, 3)
+        assert got == want, f"trial {trial}"
+
+
+def test_kmeans_deterministic_and_complete(spark):
+    from super_speedy_syslog_searcher_spark.operators import cluster
+
+    emb = _emb(spark)
+    a = sorted(map(tuple, cluster.kmeans_embed(emb, k=8, n_iter=2).collect()))
+    b = sorted(map(tuple, cluster.kmeans_embed(emb, k=8, n_iter=2).collect()))
+    assert a == b
+    assert len(a) == emb.count()
+    clusters = {r[1] for r in a}
+    assert clusters <= set(range(8)) and len(clusters) >= 2
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    """Assignment is a broadcast-literal argmin — no join, no shuffle:
+    the per-iteration scan must contain no Exchange or cartesian."""
+    from super_speedy_syslog_searcher_spark.operators import cluster
+
+    emb = _emb(spark)
+    q = cluster.quantize(emb)
+    cents = [list(r["q"]) for r in q.orderBy("vec_id").limit(4).collect()]
+    plan = (
+        cluster._assign(q, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
