@@ -1085,6 +1085,14 @@ def q_kmeans_embed(spark, sf_dir):
     return cluster.kmeans_embed(emb, k=8, n_iter=4)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (target = lang 'en'): count-weighted
+    integer sum of quantized unigram probability ratios."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.dsir_weights(docs)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1624,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_embed": q_kmeans_embed,
+        "dsir_weights": q_dsir_weights,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2136,6 +2145,25 @@ GROUP BY doc_id""",
         # the rows-only check and tests/test_bpe.py pins equivalence
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
+        "dsir_weights": """WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         t.tok AS tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''),
+dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+v AS (SELECT tok, CAST(sum(is_t) AS BIGINT) AS ct,
+             count(*) AS cr FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr,
+               count(*) AS vn FROM v),
+r AS (SELECT tok,
+  CAST(floor(CAST((ct + 1) * ((SELECT tr FROM tot) + (SELECT vn FROM tot))
+                  AS DOUBLE)
+             / ((cr + 1) * ((SELECT tt FROM tot) + (SELECT vn FROM tot)))
+             * 1000000 + 0.5) AS BIGINT) AS sr
+  FROM v)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       CAST(sum(c * sr) AS BIGINT) AS weight_x1e6
+FROM dt JOIN r USING (tok) GROUP BY doc_id""",
         "tfidf_topk": """WITH w AS (
   SELECT doc_id, t.tok AS tok FROM documents,
          unnest(string_split(text, ' ')) AS t(tok)

@@ -388,6 +388,63 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", scale: int = 1_000_000
+) -> DataFrame:
+    """Data-selection importance weights (DSIR, Xie et al. 2023):
+    score every document by how target-like its unigram distribution
+    is, target = the ``lang == target_lang`` slice, raw = the whole
+    corpus, both add-1 smoothed over the shared vocabulary.
+
+    Deviation for engine portability: the per-token statistic is the
+    LINEAR probability ratio p_t(w)/p_r(w) (not its log) quantized to
+    an integer (``floor(ratio*1e6 + 0.5)``), and the per-doc weight is
+    the count-weighted INTEGER sum of those ratios.  Log-ratio sums
+    are doubles whose distributed summation order is nondeterministic;
+    the integer form is bit-stable across runs and engines.  (The
+    ratio itself uses only bigint products < 2^53 and one double
+    divide — IEEE-exact everywhere.  Switching to log weights is
+    ``F.log`` on one line if bit-stability is not required.)
+
+    Scale shape: two token-keyed aggregations (map-side combined), a
+    3-scalar totals reduce, one tok-keyed shuffle join (vocabulary NOT
+    assumed broadcastable at 10^12 docs), one doc-keyed sum."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("int").alias("is_t"),
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).alias("tok"),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.sum("is_t").cast("bigint").alias("ct"),
+        F.count("*").cast("bigint").alias("cr"),
+    )
+    tt, tr, vn = vocab.agg(
+        F.sum("ct"), F.sum("cr"), F.count("*")
+    ).collect()[0]
+    ratio = ((F.col("ct") + 1) * F.lit(int(tr) + int(vn))).cast(
+        "double"
+    ) / ((F.col("cr") + 1) * F.lit(int(tt) + int(vn)))
+    rates = vocab.select(
+        "tok",
+        F.floor(ratio * scale + F.lit(0.5)).cast("bigint").alias("sr"),
+    )
+    return (
+        doc_tok.join(rates, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            F.sum(F.col("c") * F.col("sr"))
+            .cast("bigint")
+            .alias("weight_x1e6"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -1105,3 +1105,51 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------- dsir
+def test_dsir_target_docs_score_higher(spark):
+    """Docs made of target-exclusive vocabulary must outweigh docs of
+    off-target vocabulary, per token."""
+    rows = []
+    for i in range(6):
+        rows.append((i, " ".join(["targetword"] * 10), "en"))
+    for i in range(6, 12):
+        rows.append((i, " ".join(["otherword"] * 10), "de"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    w = {
+        r["doc_id"]: r["weight_x1e6"] / r["n_toks"]
+        for r in textstats.dsir_weights(df).collect()
+    }
+    assert all(w[i] > w[j] for i in range(6) for j in range(6, 12))
+
+
+def test_dsir_matches_hand_computation(spark):
+    """One shared + one exclusive token each side: verify the add-1
+    smoothed linear ratio against a hand calculation."""
+    df = spark.createDataFrame(
+        [(0, "aa bb", "en"), (1, "aa cc", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    # vocab: aa ct=1 cr=2; bb ct=1 cr=1; cc ct=0 cr=1
+    # tt=2 tr=4 vn=3 -> Tr+V=7, Tt+V=5
+    # ratio(aa) = (2*7)/(3*5) = 14/15; bb = (2*7)/(2*5) = 1.4
+    # cc = (1*7)/(2*5) = 0.7
+    import math
+
+    r_aa = math.floor(14.0 / 15.0 * 1e6 + 0.5)
+    r_bb = math.floor(14.0 / 10.0 * 1e6 + 0.5)
+    r_cc = math.floor(7.0 / 10.0 * 1e6 + 0.5)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["weight_x1e6"])
+        for r in textstats.dsir_weights(df).collect()
+    }
+    assert got[0] == (2, r_aa + r_bb)
+    assert got[1] == (2, r_aa + r_cc)
+
+
+def test_dsir_covers_every_doc(spark):
+    docs = _docs(spark)
+    out = textstats.dsir_weights(docs)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("weight_x1e6") <= 0).count() == 0
