@@ -22,6 +22,7 @@ from super_speedy_syslog_searcher_spark.datagen import transcripts_df
 from super_speedy_syslog_searcher_spark.operators import (
     bpe,
     cluster,
+    sft,
     dedup,
     multimodal,
     similarity,
@@ -1093,6 +1094,21 @@ def q_dsir_weights(spark, sf_dir):
     return textstats.dsir_weights(docs)
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT (prompt, response) extraction: each user turn paired with
+    the first following assistant turn in-conversation, skipped when
+    another user turn intervenes.  One conv_id-keyed window scan."""
+    session.prep(spark)
+    return sft.build_sft_pairs(transcripts_df(spark, sf_dir))
+
+
+def q_conv_chunks(spark, sf_dir):
+    """Sliding last-4-turn context windows at stride 2 per
+    conversation (long-context curriculum chunking)."""
+    session.prep(spark)
+    return sft.conv_chunks(transcripts_df(spark, sf_dir), k=4, stride=2)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1633,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "kmeans_embed": q_kmeans_embed,
         "dsir_weights": q_dsir_weights,
+        "sft_pairs": q_sft_pairs,
+        "conv_chunks": q_conv_chunks,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1897,6 +1915,32 @@ rk AS (
 SELECT conv_id, pattern_id AS dominant_pattern_id,
        CAST(matches AS BIGINT) AS matches
 FROM rk WHERE rn = 1""",
+        "sft_pairs": f"""{b},
+f AS (
+  SELECT conv_id, turn_idx, role, text,
+    min(CASE WHEN role = 'assistant' THEN turn_idx END) OVER w AS asst_idx,
+    min(CASE WHEN role = 'user' THEN turn_idx END) OVER w AS next_user_idx,
+    min_by(CASE WHEN role = 'assistant' THEN text END,
+           CASE WHEN role = 'assistant' THEN turn_idx END) OVER w AS response
+  FROM exp
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT conv_id, turn_idx AS user_idx, CAST(asst_idx AS INT) AS asst_idx,
+       text AS prompt, response
+FROM f
+WHERE role = 'user' AND asst_idx IS NOT NULL
+  AND (next_user_idx IS NULL OR asst_idx < next_user_idx)""",
+        "conv_chunks": f"""{b},
+c AS (
+  SELECT conv_id, turn_idx,
+    list(role || ': ' || text) OVER w AS ctx,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM exp
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+SELECT conv_id, turn_idx, CAST(len(ctx) AS INT) AS n_ctx,
+       array_to_string(ctx, chr(10)) AS chunk_text
+FROM c WHERE (rn - 1) % 2 = 0""",
         **_training_data_oracles(),
     }
 

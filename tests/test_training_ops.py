@@ -1153,3 +1153,74 @@ def test_dsir_covers_every_doc(spark):
     out = textstats.dsir_weights(docs)
     assert out.count() == docs.count()
     assert out.filter(F.col("weight_x1e6") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------- sft
+def _turns(spark, rows):
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    data = [
+        (conv, i, role, text, "none", t0)
+        for conv, i, role, text in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def test_sft_pairs_basic_and_intervening_user(spark):
+    from super_speedy_syslog_searcher_spark.operators import sft
+
+    rows = [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "tool", "t"),
+        ("c1", 2, "assistant", "a1"),
+        ("c1", 3, "user", "q2"),          # next asst is 5
+        ("c1", 4, "user", "q3"),          # q2 blocked by q3 at 4 < 5
+        ("c1", 5, "assistant", "a2"),
+        ("c2", 0, "user", "unanswered"),  # no assistant at all
+        ("c3", 0, "assistant", "a0"),     # assistant before any user
+        ("c3", 1, "user", "q4"),
+        ("c3", 2, "assistant", "a3"),
+    ]
+    got = {
+        (r["conv_id"], r["user_idx"]): (r["asst_idx"], r["prompt"], r["response"])
+        for r in sft.build_sft_pairs(_turns(spark, rows)).collect()
+    }
+    assert got == {
+        ("c1", 0): (2, "q1", "a1"),
+        ("c1", 4): (5, "q3", "a2"),
+        ("c3", 1): (2, "q4", "a3"),
+    }
+
+
+def test_conv_chunks_window_and_stride(spark):
+    from super_speedy_syslog_searcher_spark.operators import sft
+
+    rows = [("c", i, "user" if i % 2 == 0 else "assistant", f"m{i}")
+            for i in range(5)]
+    got = {
+        r["turn_idx"]: (r["n_ctx"], r["chunk_text"])
+        for r in sft.conv_chunks(_turns(spark, rows), k=3, stride=2).collect()
+    }
+    assert got == {
+        0: (1, "user: m0"),
+        2: (3, "user: m0\nassistant: m1\nuser: m2"),
+        4: (3, "user: m2\nassistant: m3\nuser: m4"),
+    }
+
+
+def test_sft_plan_single_conv_shuffle(spark):
+    """Both ops are one conv_id-keyed Exchange — no join, no second
+    shuffle (window sorts within the same partitioning)."""
+    from super_speedy_syslog_searcher_spark.operators import sft
+
+    rows = [("c", i, "user", "x") for i in range(4)]
+    df = _turns(spark, rows)
+    for op in (sft.build_sft_pairs(df), sft.conv_chunks(df)):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "SortMergeJoin" not in plan and "Cartesian" not in plan
