@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark import oracle as O
@@ -1109,6 +1109,31 @@ def q_conv_chunks(spark, sf_dir):
     return sft.conv_chunks(transcripts_df(spark, sf_dir), k=4, stride=2)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Near-dup survivor selection: connected components over the
+    LSH-verified pairs, then keep the highest-quality doc per cluster
+    (tie-break smallest doc_id) — the step that turns pair detection
+    into an actual deduplicated corpus keyed on quality, not on
+    arbitrary min-id."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cc = dedup.duplicate_clusters(dedup.lsh_verified_pairs(docs))
+    qual = textstats.quality_scores(docs).select("doc_id", "quality_x10k")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_x10k").desc(), "doc_id"
+    )
+    return (
+        cc.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_x10k",
+            (F.col("rk") == 1).cast("int").alias("is_survivor"),
+        )
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1651,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "sft_pairs": q_sft_pairs,
         "conv_chunks": q_conv_chunks,
+        "dedup_survivors": q_dedup_survivors,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2087,6 +2113,54 @@ SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(cluster_size AS BIGINT) AS cluster_size,
        node = cluster_id AS is_canonical
 FROM cc JOIN csz USING (cluster_id)""",
+        "dedup_survivors": f"""WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {minhash_sig} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bval FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bval FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+vp AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.2),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION SELECT doc_b, doc_a FROM vp),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+qual AS (
+  SELECT doc_id,
+         CAST(floor(((len(list_filter(list_distinct(string_split(lower(text), ' ')),
+               w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+               / len(string_split(lower(text), ' '))) * 2.0
+             - (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text))
+             + least(length(text) / 500.0, 1.0)) * 10000 + 0.5) AS BIGINT)
+           AS quality_x10k
+  FROM documents),
+j AS (
+  SELECT cc.node AS doc_id, cc.cluster_id, q.quality_x10k,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.quality_x10k DESC, cc.node) AS rk
+  FROM cc JOIN qual q ON q.doc_id = cc.node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       quality_x10k,
+       CAST(rk = 1 AS INT) AS is_survivor
+FROM j""",
         "sessionize": """WITH g AS (
   SELECT event_id, user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL

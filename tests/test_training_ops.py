@@ -1224,3 +1224,22 @@ def test_sft_plan_single_conv_shuffle(spark):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------------ survivors
+def test_dedup_survivors_one_per_cluster_highest_quality(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_dedup_survivors(spark, SF_SMOKE).collect()
+    assert out, "expected at least one duplicate cluster at sf0.001"
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        surv = [r for r in rows if r["is_survivor"] == 1]
+        assert len(surv) == 1
+        s = surv[0]
+        best = max(rows, key=lambda r: (r["quality_x10k"], -r["doc_id"]))
+        assert (s["doc_id"], s["quality_x10k"]) == (
+            best["doc_id"], best["quality_x10k"]
+        )
