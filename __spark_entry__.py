@@ -1134,6 +1134,16 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_curriculum_bins(spark, sf_dir):
+    """Exact quality-decile curriculum bins: order-statistic
+    thresholds from the frequency table, applied as a narrow literal
+    comparison map (no global window)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qual = textstats.quality_scores(docs).select("doc_id", "quality_x10k")
+    return sketch.curriculum_bins(qual)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1677,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "conv_chunks": q_conv_chunks,
         "dedup_survivors": q_dedup_survivors,
+        "curriculum_bins": q_curriculum_bins,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2161,6 +2172,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        quality_x10k,
        CAST(rk = 1 AS INT) AS is_survivor
 FROM j""",
+        "curriculum_bins": """WITH qual AS (
+  SELECT doc_id,
+         CAST(floor(((len(list_filter(list_distinct(string_split(lower(text), ' ')),
+               w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+               / len(string_split(lower(text), ' '))) * 2.0
+             - (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text))
+             + least(length(text) / 500.0, 1.0)) * 10000 + 0.5) AS BIGINT)
+           AS quality_x10k
+  FROM documents),
+freq AS (SELECT quality_x10k AS v, count(*) AS c FROM qual GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM freq),
+tot AS (SELECT count(*) AS n FROM qual),
+qs AS (SELECT unnest([100,200,300,400,500,600,700,800,900]) AS q),
+r AS (SELECT q, (q * n + 999) // 1000 AS k FROM qs, tot),
+th AS (SELECT q, min(CASE WHEN cum >= k THEN v END) AS value
+       FROM r, cum GROUP BY q, k)
+SELECT doc_id, quality_x10k,
+       CAST(coalesce(sum(CASE WHEN quality_x10k > value THEN 1 ELSE 0 END), 0)
+            AS INT) AS bin
+FROM qual CROSS JOIN th GROUP BY 1, 2""",
         "sessionize": """WITH g AS (
   SELECT event_id, user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL

@@ -187,3 +187,34 @@ def int_quantiles(
             )
         )
     )
+
+
+def curriculum_bins(scores: DataFrame, col: str = "quality_x10k",
+                    n_bins: int = 10) -> DataFrame:
+    """Curriculum binning: assign every row an exact decile (n_bins)
+    bin of an integer score column — the data-ordering step of
+    curriculum training (feed bin 0 first, bin 9 last).
+
+    Thresholds are EXACT order statistics from int_quantiles (value at
+    rank ceil(k·n/n_bins)); rows equal to a threshold fall in the
+    lower bin, so the binning is deterministic under ties and
+    identical across engines.  The thresholds (n_bins-1 integers) are
+    collected and applied as a literal comparison chain — the corpus
+    pass is a narrow map, no shuffle, no global sort, no per-row
+    window (an ntile() over a global ORDER BY would single-thread at
+    10^12 rows; this doesn't)."""
+    step = 1000 // n_bins
+    qs = tuple(range(step, 1000, step))
+    th = sorted(
+        int(r["value"])
+        for r in int_quantiles(scores, col, qs=qs).collect()
+        if r["value"] is not None
+    )
+    bin_expr = sum(
+        (F.col(col) > t).cast("int") for t in th
+    ) if th else F.lit(0)
+    return scores.select(
+        "doc_id",
+        F.col(col),
+        bin_expr.cast("int").alias("bin"),
+    )

@@ -1243,3 +1243,44 @@ def test_dedup_survivors_one_per_cluster_highest_quality(spark):
         assert (s["doc_id"], s["quality_x10k"]) == (
             best["doc_id"], best["quality_x10k"]
         )
+
+
+# ------------------------------------------------------------ curriculum
+def test_curriculum_bins_monotone_and_bounded(spark):
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    qual = textstats.quality_scores(_docs(spark)).select(
+        "doc_id", "quality_x10k"
+    )
+    rows = sketch.curriculum_bins(qual).collect()
+    assert len(rows) == qual.count()
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    by_q = sorted(rows, key=lambda r: (r["quality_x10k"], r["doc_id"]))
+    bins = [r["bin"] for r in by_q]
+    assert bins == sorted(bins)  # monotone in the score
+    # equal scores share a bin
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for r in rows:
+        seen[r["quality_x10k"]].add(r["bin"])
+    assert all(len(v) == 1 for v in seen.values())
+
+
+def test_curriculum_bins_exact_sizes_on_distinct_scores(spark):
+    """With all-distinct scores, every decile holds exactly n/10 rows
+    (the exact-order-statistic guarantee ntile gives, without the
+    global window)."""
+    from super_speedy_syslog_searcher_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000 + 1000 * ((i * 37) % 1000 == 0))
+         for i in range(100)],
+        "doc_id bigint, quality_x10k bigint",
+    )
+    # (i*37)%1000 over 100 i's: all distinct since gcd(37,1000)=1
+    rows = sketch.curriculum_bins(df).collect()
+    from collections import Counter
+
+    sizes = Counter(r["bin"] for r in rows)
+    assert sorted(sizes.values()) == [10] * 10
