@@ -22,6 +22,7 @@ from super_speedy_syslog_searcher_spark.datagen import transcripts_df
 from super_speedy_syslog_searcher_spark.operators import (
     bpe,
     cluster,
+    lines,
     sft,
     dedup,
     multimodal,
@@ -1144,6 +1145,35 @@ def q_curriculum_bins(spark, sf_dir):
     return sketch.curriculum_bins(qual)
 
 
+def _synth_lines(spark, sf_dir):
+    """Shared multi-line corpus for the line-level ops: the same
+    deterministic derivation (lines.synth_lines_sql) runs on Spark
+    here and inside the DuckDB oracle, so both engines see identical
+    (doc_id, line_pos, line) inputs."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents_l")
+    return spark.sql(lines.synth_lines_sql("spark", "documents_l"))
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 (Raffel et al. 2020) line+document rule cleaning: per-line
+    terminal-punctuation / >=5-words / no-javascript rules, per-doc
+    curly-brace / lorem-ipsum / >=3-surviving-lines rules, rebuilt
+    clean text.  One doc_id hash aggregate, no join or window."""
+    session.prep(spark)
+    return lines.c4_line_filter(_synth_lines(spark, sf_dir))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet corpus-wide duplicated-line removal: each line's first
+    occurrence (min (doc_id, line_pos)) survives, every other copy is
+    excised — boilerplate banners vanish.  First-occurrence table via
+    map-side-combinable groupBy (hot banner keys collapse per map
+    task), then one line-keyed join back and one doc aggregate."""
+    session.prep(spark)
+    return lines.line_dedup(_synth_lines(spark, sf_dir))
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Weighted adjacent character-pair counts over the corpus — the
     statistic the first BPE merge maximizes; the explode runs on the
@@ -1688,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_chunks": q_conv_chunks,
         "dedup_survivors": q_dedup_survivors,
         "curriculum_bins": q_curriculum_bins,
+        "c4_filter": q_c4_filter,
+        "line_dedup": q_line_dedup,
         "bpe_train": q_bpe_train,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2037,7 +2069,61 @@ def _training_data_oracles() -> dict[str, str]:
     minhash_sig = ", ".join(
         f"min(md5(shingle || '#{i}')) AS m{i}" for i in range(8)
     )
+    lines_cte = lines.synth_lines_sql("duckdb")
+    # plain-string concat (not f-strings): the C4 rules mention curly
+    # braces literally.
+    c4_oracle = (
+        "WITH ln AS ("
+        + lines_cte
+        + """),
+fl AS (
+  SELECT doc_id, line_pos, line,
+    (len(list_filter(string_split(line, ' '), w -> w <> '')) >= 5
+     AND right(trim(line), 1) IN ('.', '!', '?', '"')
+     AND NOT contains(lower(line), 'javascript')) AS keep_line,
+    (contains(line, '{') OR contains(line, '}')) AS has_brace,
+    contains(lower(line), 'lorem ipsum') AS has_lorem
+  FROM ln),
+ag AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    max(CASE WHEN has_brace THEN 1 ELSE 0 END) AS any_brace,
+    max(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS any_lorem,
+    string_agg(line, chr(10) ORDER BY line_pos)
+      FILTER (WHERE keep_line) AS ctext
+  FROM fl GROUP BY doc_id)
+SELECT doc_id, n_lines, n_kept,
+  CAST(CASE WHEN any_brace = 0 AND any_lorem = 0 AND n_kept >= 3
+       THEN 1 ELSE 0 END AS INT) AS kept_doc,
+  CASE WHEN any_brace = 0 AND any_lorem = 0 AND n_kept >= 3
+       THEN ctext END AS clean_text
+FROM ag"""
+    )
+    # doc_id*100000+line_pos reproduces min(struct(doc_id, line_pos)):
+    # per-doc line counts are far below 100000.
+    line_dedup_oracle = (
+        "WITH ln AS ("
+        + lines_cte
+        + """),
+f AS (
+  SELECT line, count(*) AS n_occ,
+         min(doc_id * 100000 + line_pos) AS ford
+  FROM ln GROUP BY line),
+t AS (
+  SELECT l.doc_id, l.line_pos, l.line,
+    (f.n_occ = 1 OR l.doc_id * 100000 + l.line_pos = f.ford) AS keep
+  FROM ln l JOIN f USING (line))
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+  coalesce(string_agg(line, chr(10) ORDER BY line_pos)
+           FILTER (WHERE keep), '') AS clean_text
+FROM t GROUP BY doc_id"""
+    )
     return {
+        "c4_filter": c4_oracle,
+        "line_dedup": line_dedup_oracle,
         "dedup_exact": """
 SELECT md5(text) AS digest, CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
        CAST(count(*) AS BIGINT) AS n_docs
