@@ -1110,6 +1110,66 @@ def q_conv_chunks(spark, sf_dir):
     return sft.conv_chunks(transcripts_df(spark, sf_dir), k=4, stride=2)
 
 
+def _rollouts(spark, sf_dir):
+    """Shared rollout augmentation for the rollout-tree / best-of-n /
+    preference ops: every conv with cnum % 5 == 0 gains two extra
+    rollouts ('#r1', '#r2') that share the first ceil(n/2) turns and
+    diverge after (text suffixed ' (alt r)').  The DuckDB oracle
+    derives the identical augmentation from the exp CTE."""
+    t = transcripts_df(spark, sf_dir)
+    aug = t.withColumn(
+        "_half",
+        F.expr("(count(*) OVER (PARTITION BY conv_id) + 1) DIV 2"),
+    ).withColumn(
+        "_cnum", F.substring("conv_id", 6, 10).cast("int")
+    )
+    alts = []
+    for r in (1, 2):
+        alts.append(
+            aug.filter(F.col("_cnum") % 5 == 0).select(
+                F.concat("conv_id", F.lit(f"#r{r}")).alias("conv_id"),
+                "turn_idx",
+                "role",
+                F.when(
+                    F.col("turn_idx") >= F.col("_half"),
+                    F.concat(F.col("text"), F.lit(f" (alt {r})")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "tool",
+                "ts",
+            )
+        )
+    out = aug.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    for a in alts:
+        out = out.unionByName(a)
+    return out
+
+
+def q_rollout_tree(spark, sf_dir):
+    """Rollout prefix-tree nodes over the augmented rollout corpus:
+    per distinct conversation prefix, the number of rollouts passing
+    through it and the number of distinct continuations — the dedup
+    ledger for shared-prefix storage of RL / best-of-n samples."""
+    session.prep(spark)
+    return sft.rollout_tree(_rollouts(spark, sf_dir))
+
+
+def q_best_of_n(spark, sf_dir):
+    """Best-of-n selection: highest-scoring rollout per shared-prompt
+    group (score = total assistant characters, deterministic
+    tie-break)."""
+    session.prep(spark)
+    return sft.best_of_n(_rollouts(spark, sf_dir))
+
+
+def q_preference_pairs(spark, sf_dir):
+    """RLHF preference pairs: (chosen, rejected) = (argmax, argmin)
+    rollout per shared-prompt group where the scores differ."""
+    session.prep(spark)
+    return sft.preference_pairs(_rollouts(spark, sf_dir))
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Near-dup survivor selection: connected components over the
     LSH-verified pairs, then keep the highest-quality doc per cluster
@@ -1716,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "sft_pairs": q_sft_pairs,
         "conv_chunks": q_conv_chunks,
+        "rollout_tree": q_rollout_tree,
+        "best_of_n": q_best_of_n,
+        "preference_pairs": q_preference_pairs,
         "dedup_survivors": q_dedup_survivors,
         "curriculum_bins": q_curriculum_bins,
         "c4_filter": q_c4_filter,
@@ -2010,9 +2073,90 @@ c AS (
 SELECT conv_id, turn_idx, CAST(len(ctx) AS INT) AS n_ctx,
        array_to_string(ctx, chr(10)) AS chunk_text
 FROM c WHERE (rn - 1) % 2 = 0""",
+        "rollout_tree": f"""{b},
+{_ROLLOUTS_CTE}
+p AS (
+  SELECT conv_id, row_number() OVER wo AS depth,
+    md5(string_agg(role || ':' || text, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS UNBOUNDED PRECEDING)) AS prefix_key
+  FROM r
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx)),
+pp AS (
+  SELECT *, lag(prefix_key) OVER (
+    PARTITION BY conv_id ORDER BY depth) AS parent_key FROM p),
+nodes AS (
+  SELECT depth, prefix_key, CAST(count(*) AS BIGINT) AS n_convs
+  FROM pp GROUP BY 1, 2),
+ch AS (
+  SELECT parent_key,
+         CAST(count(DISTINCT prefix_key) AS BIGINT) AS n_children
+  FROM pp WHERE parent_key IS NOT NULL GROUP BY 1)
+SELECT CAST(depth AS INT) AS depth, nodes.prefix_key AS prefix_key,
+       n_convs, COALESCE(ch.n_children, 0) AS n_children
+FROM nodes LEFT JOIN ch ON nodes.prefix_key = ch.parent_key""",
+        "best_of_n": f"""{b},
+{_ROLLOUTS_CTE}
+{_CONV_SCORES_CTE}
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY prompt_key ORDER BY score DESC, conv_id) AS rb,
+    count(*) OVER (PARTITION BY prompt_key) AS nr
+  FROM t)
+SELECT prompt_key, CAST(nr AS BIGINT) AS n_rollouts,
+       conv_id AS best_conv, score AS best_score
+FROM rk WHERE rb = 1""",
+        "preference_pairs": f"""{b},
+{_ROLLOUTS_CTE}
+{_CONV_SCORES_CTE}
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY prompt_key ORDER BY score DESC, conv_id) AS rb,
+    row_number() OVER (
+      PARTITION BY prompt_key ORDER BY score ASC, conv_id DESC) AS rw
+  FROM t),
+c AS (SELECT prompt_key, conv_id AS chosen_conv,
+             score AS chosen_score FROM rk WHERE rb = 1),
+j AS (SELECT prompt_key, conv_id AS rejected_conv,
+             score AS rejected_score FROM rk WHERE rw = 1)
+SELECT c.prompt_key AS prompt_key, chosen_conv, rejected_conv,
+       chosen_score, rejected_score,
+       CAST(chosen_score - rejected_score AS BIGINT) AS margin
+FROM c JOIN j USING (prompt_key)
+WHERE chosen_score > rejected_score""",
         **_training_data_oracles(),
     }
 
+
+# rollout augmentation over the exp transcripts (DuckDB side of
+# _rollouts): convs with cnum % 5 == 0 gain rollouts #r1/#r2 sharing
+# the first ceil(n/2) turns.  Trailing comma: callers append CTEs.
+_ROLLOUTS_CTE = """
+rb AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         (count(*) OVER (PARTITION BY conv_id) + 1) // 2 AS half,
+         CAST(substr(conv_id, 6) AS INT) AS cnum
+  FROM exp),
+r AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM rb
+  UNION ALL
+  SELECT conv_id || '#r' || CAST(rno AS VARCHAR), turn_idx, role,
+         CASE WHEN turn_idx >= half
+              THEN text || ' (alt ' || CAST(rno AS VARCHAR) || ')'
+              ELSE text END,
+         tool, ts
+  FROM rb CROSS JOIN (SELECT unnest([1, 2]) AS rno) u
+  WHERE cnum % 5 = 0),
+"""
+
+# per-conversation (prompt_key, score) over the rollouts relation
+_CONV_SCORES_CTE = """
+t AS (
+  SELECT conv_id, md5(min_by(text, turn_idx)) AS prompt_key,
+         CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+                       ELSE 0 END) AS BIGINT) AS score
+  FROM r GROUP BY conv_id),
+"""
 
 _SHINGLES_CTE = """
 w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),

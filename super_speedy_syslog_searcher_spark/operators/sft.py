@@ -100,3 +100,157 @@ def conv_chunks(
             F.array_join("_ctx", "\n").alias("chunk_text"),
         )
     )
+
+
+def rollout_tree(turns: DataFrame) -> DataFrame:
+    """Rollout prefix-tree profile: RL / best-of-n sampling re-runs
+    the same conversation prefix many times, so the corpus of
+    rollouts is a TREE — storing (and re-embedding, re-tokenizing)
+    each rollout independently duplicates every shared prefix.  This
+    op materializes the tree's nodes: one row per distinct
+    conversation prefix, with how many rollouts pass through it
+    (``n_convs``) and how many distinct continuations leave it
+    (``n_children``); ``n_convs - 1`` is exactly the number of
+    duplicate copies of that prefix a flat store would hold.
+
+    Prefix identity = md5 of the role-prefixed turn texts so far
+    (conversations are bounded by the model context window, so the
+    running concatenation is bounded per row).  Shape: ONE conv_id
+    Exchange feeds both windows (same partitioning), then two
+    map-side-combinable aggregates joined on the hash key — no
+    corpus self-join, holds at 10^12 turns.
+    """
+    wo = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    step = F.concat_ws(":", F.col("role"), F.col("text"))
+    p = turns.select(
+        "conv_id",
+        F.row_number().over(wo).alias("depth"),
+        F.md5(
+            F.concat_ws("\n", F.collect_list(step).over(wcum))
+        ).alias("prefix_key"),
+    ).withColumn(
+        "parent_key",
+        F.lag("prefix_key").over(
+            Window.partitionBy("conv_id").orderBy("depth")
+        ),
+    )
+    nodes = p.groupBy("depth", "prefix_key").agg(
+        F.count("*").cast("bigint").alias("n_convs")
+    )
+    children = (
+        p.filter(F.col("parent_key").isNotNull())
+        .groupBy("parent_key")
+        .agg(
+            F.countDistinct("prefix_key").cast("bigint").alias(
+                "n_children"
+            )
+        )
+    )
+    return (
+        nodes.join(
+            children,
+            nodes["prefix_key"] == children["parent_key"],
+            "left",
+        )
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            "prefix_key",
+            "n_convs",
+            F.coalesce(F.col("n_children"), F.lit(0))
+            .cast("bigint")
+            .alias("n_children"),
+        )
+    )
+
+
+def _conv_scores(turns: DataFrame) -> DataFrame:
+    """One row per conversation: the shared-prompt group key (md5 of
+    the FIRST turn's text — rollouts of one prompt share it by
+    construction) and a deterministic reward proxy (total assistant
+    characters).  One conv_id-keyed aggregate."""
+    first_text = F.expr("min_by(text, turn_idx)")
+    score = F.sum(
+        F.when(
+            F.col("role") == "assistant", F.length("text")
+        ).otherwise(F.lit(0))
+    )
+    return turns.groupBy("conv_id").agg(
+        F.md5(first_text).alias("prompt_key"),
+        score.cast("bigint").alias("score"),
+    )
+
+
+def best_of_n(turns: DataFrame) -> DataFrame:
+    """Best-of-n rollout selection: group rollouts by shared prompt
+    (first-turn digest), keep the highest-scoring conversation
+    (tie-break: smallest conv_id).  Output one row per prompt:
+    (prompt_key, n_rollouts, best_conv, best_score).
+
+    Shape: per-conv aggregate (corpus pass), then a window over the
+    conversation-sized table — never over turns."""
+    t = _conv_scores(turns)
+    wb = Window.partitionBy("prompt_key").orderBy(
+        F.col("score").desc(), "conv_id"
+    )
+    nw = Window.partitionBy("prompt_key")
+    return (
+        t.withColumn("_rn", F.row_number().over(wb))
+        .withColumn("n_rollouts", F.count("*").over(nw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "prompt_key",
+            F.col("n_rollouts").cast("bigint").alias("n_rollouts"),
+            F.col("conv_id").alias("best_conv"),
+            F.col("score").alias("best_score"),
+        )
+    )
+
+
+def preference_pairs(turns: DataFrame) -> DataFrame:
+    """RLHF-style preference-pair extraction: for every shared-prompt
+    rollout group whose best and worst scores differ, emit
+    (chosen, rejected) = (argmax, argmin) conversation with
+    deterministic tie-breaks (chosen: score desc then conv_id asc;
+    rejected: score asc then conv_id desc — so a 2-rollout tie never
+    pairs a conv with itself, it is filtered by the margin > 0 rule).
+
+    Same shape as best_of_n: corpus pass -> conv-sized windows."""
+    t = _conv_scores(turns)
+    wb = Window.partitionBy("prompt_key").orderBy(
+        F.col("score").desc(), "conv_id"
+    )
+    ww = Window.partitionBy("prompt_key").orderBy(
+        F.col("score").asc(), F.col("conv_id").desc()
+    )
+    ranked = t.select(
+        "prompt_key",
+        "conv_id",
+        "score",
+        F.row_number().over(wb).alias("_rb"),
+        F.row_number().over(ww).alias("_rw"),
+    )
+    chosen = ranked.filter(F.col("_rb") == 1).select(
+        "prompt_key",
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("_rw") == 1).select(
+        "prompt_key",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "prompt_key")
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "prompt_key",
+            "chosen_conv",
+            "rejected_conv",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+    )
