@@ -31,6 +31,7 @@ from super_speedy_syslog_searcher_spark.operators import (
     stats,
     temporal,
     textstats,
+    transforms,
 )
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich_stage
 from super_speedy_syslog_searcher_spark.operators.merge import (
@@ -1170,6 +1171,47 @@ def q_preference_pairs(spark, sf_dir):
     return sft.preference_pairs(_rollouts(spark, sf_dir))
 
 
+def q_grpo_advantage(spark, sf_dir):
+    """Group-relative advantages (GRPO/RLOO baseline): per rollout,
+    its score centered on its shared-prompt group mean, integer
+    permille via truncating division (identical in both engines)."""
+    session.prep(spark)
+    return sft.grpo_advantage(_rollouts(spark, sf_dir))
+
+
+def q_loss_mask_spans(spark, sf_dir):
+    """SFT loss-mask char spans: [start, end) offsets of every
+    assistant turn's text within the 'role: text\\n'-rendered
+    conversation — pure integer cumulative-window math."""
+    session.prep(spark)
+    return sft.loss_mask_spans(transcripts_df(spark, sf_dir))
+
+
+def q_role_alternation(spark, sf_dir):
+    """Per-conversation chat-format hygiene report: first/last role,
+    adjacent same-role repeats, and the strict-dialogue verdict."""
+    session.prep(spark)
+    return sft.role_alternation(transcripts_df(spark, sf_dir))
+
+
+def q_fim_split(spark, sf_dir):
+    """Deterministic fill-in-the-middle transform (PSM mode): two
+    hash-derived interior cuts per document, zero shuffle."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return transforms.fim_split(docs)
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget corpus assembly: per-source token quotas filled
+    in deterministic hash order (whitespace tokens; budget map keyed
+    on the synthetic sources)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {f"src{k}": 150 * (k + 1) for k in range(0, 20, 2)}
+    return sketch.token_budget_sample(docs, budgets)
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Near-dup survivor selection: connected components over the
     LSH-verified pairs, then keep the highest-quality doc per cluster
@@ -1779,6 +1821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollout_tree": q_rollout_tree,
         "best_of_n": q_best_of_n,
         "preference_pairs": q_preference_pairs,
+        "grpo_advantage": q_grpo_advantage,
+        "loss_mask_spans": q_loss_mask_spans,
+        "role_alternation": q_role_alternation,
+        "fim_split": q_fim_split,
+        "token_budget_sample": q_token_budget_sample,
         "dedup_survivors": q_dedup_survivors,
         "curriculum_bins": q_curriculum_bins,
         "c4_filter": q_c4_filter,
@@ -2124,8 +2171,86 @@ SELECT c.prompt_key AS prompt_key, chosen_conv, rejected_conv,
        CAST(chosen_score - rejected_score AS BIGINT) AS margin
 FROM c JOIN j USING (prompt_key)
 WHERE chosen_score > rejected_score""",
+        "grpo_advantage": f"""{b},
+{_ROLLOUTS_CTE}
+{_CONV_SCORES_CTE}
+g AS (
+  SELECT *, count(*) OVER (PARTITION BY prompt_key) AS n,
+         sum(score) OVER (PARTITION BY prompt_key) AS s
+  FROM t)
+SELECT prompt_key, conv_id, score,
+       CAST(n AS BIGINT) AS n_rollouts,
+       CAST((1000 * (n * score - s)) // n AS BIGINT) AS adv_permille
+FROM g""",
+        "loss_mask_spans": f"""{b},
+m AS (
+  SELECT conv_id, turn_idx, role,
+    COALESCE(sum(length(role) + 2 + length(text) + 1) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + length(role) + 2 AS span_start,
+    length(text) AS tl
+  FROM exp)
+SELECT conv_id, turn_idx,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_start + tl AS BIGINT) AS span_end
+FROM m WHERE role = 'assistant'""",
+        "role_alternation": f"""{b},
+l AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr
+  FROM exp),
+a AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         min_by(role, turn_idx) AS first_role,
+         max_by(role, turn_idx) AS last_role,
+         CAST(sum(CASE WHEN role = pr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_adjacent_dups,
+         max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS ha
+  FROM l GROUP BY conv_id)
+SELECT conv_id, n_turns, first_role, last_role, n_adjacent_dups,
+       (first_role = 'user' AND last_role = 'assistant'
+        AND n_adjacent_dups = 0 AND ha = 1) AS alternation_ok
+FROM a""",
+        "fim_split": f"""WITH c1 AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(1 + ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#a#fim1'")})
+              % (length(text) - 2) AS INT) AS cut1
+  FROM documents WHERE length(text) >= 3),
+c2 AS (
+  SELECT *, CAST(cut1 + 1 +
+         ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#b#fim1'")})
+         % (n - cut1 - 1) AS INT) AS cut2
+  FROM c1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, cut1, cut2,
+       '<PRE>' || substr(text, 1, cut1)
+       || '<SUF>' || substr(text, cut2 + 1, n - cut2)
+       || '<MID>' || substr(text, cut1 + 1, cut2 - cut1) AS fim_text
+FROM c2""",
+        "token_budget_sample": f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ({_hex13_sql("CAST(doc_id AS VARCHAR) || '#' || source || '#budget1'")}) AS h,
+         CASE {_TOKEN_BUDGET_CASE} ELSE -1 END AS budget
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t WHERE budget >= 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum_tokens <= budget OR (cum_tokens = n_tokens AND budget > 0)""",
         **_training_data_oracles(),
     }
+
+
+# budget map of q_token_budget_sample as a SQL CASE (sources src0,
+# src2, ..., src18 with budget 150*(k+1) tokens; others dropped)
+_TOKEN_BUDGET_CASE = " ".join(
+    f"WHEN source = 'src{k}' THEN {150 * (k + 1)}"
+    for k in range(0, 20, 2)
+)
 
 
 # rollout augmentation over the exp transcripts (DuckDB side of

@@ -254,3 +254,113 @@ def preference_pairs(turns: DataFrame) -> DataFrame:
             .alias("margin"),
         )
     )
+
+
+def grpo_advantage(turns: DataFrame) -> DataFrame:
+    """Group-relative advantages (the GRPO / RLOO baseline): for each
+    rollout, its score centered on the MEAN of its shared-prompt
+    group, in integer permille so the value is bit-identical across
+    engines: ``adv_permille = (1000 * (n*score - sum)) DIV n`` —
+    score − mean == (n·score − Σ)/n lifted to integers before the one
+    division (Spark ``DIV`` and DuckDB ``//`` both truncate toward
+    zero, verified on negatives).  Singleton groups score exactly 0.
+
+    Shape: per-conv aggregate (the only corpus pass), then one
+    prompt_key-partitioned window over the conversation-sized table.
+    Overflow bound: |1000·n·score| < 2^63 ⇔ n·score < 9.2e15 — holds
+    for any real rollout group (scores are per-conv char counts).
+    """
+    t = _conv_scores(turns)
+    wg = Window.partitionBy("prompt_key")
+    return (
+        t.withColumn("_n", F.count("*").over(wg))
+        .withColumn("_s", F.sum("score").over(wg))
+        .select(
+            "prompt_key",
+            "conv_id",
+            "score",
+            F.col("_n").cast("bigint").alias("n_rollouts"),
+            F.expr("(1000 * (_n * score - _s)) DIV _n")
+            .cast("bigint")
+            .alias("adv_permille"),
+        )
+    )
+
+
+def loss_mask_spans(turns: DataFrame) -> DataFrame:
+    """Loss-mask character spans for SFT training: render each
+    conversation as ``role: text\\n`` lines concatenated in turn
+    order (the conv_chunks line format) and emit, for every
+    ASSISTANT turn, the 0-based [span_start, span_end) offsets of its
+    text within the rendered conversation — the spans where the
+    training loss is active.
+
+    Pure integer window math: line length = len(role) + 2 + len(text)
+    + 1; span_start = Σ previous line lengths + len(role) + 2.  One
+    conv_id-keyed Exchange, a single cumulative-sum frame on it —
+    zero-Exchange on the bucketed layout table."""
+    line_len = (
+        F.length("role") + F.lit(2) + F.length("text") + F.lit(1)
+    )
+    wprev = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(
+        F.sum(line_len).over(wprev), F.lit(0)
+    )
+    start = prev + F.length("role") + F.lit(2)
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            start.cast("bigint").alias("span_start"),
+            (start + F.length("text"))
+            .cast("bigint")
+            .alias("span_end"),
+        )
+        .filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "span_start", "span_end")
+    )
+
+
+def role_alternation(turns: DataFrame) -> DataFrame:
+    """SFT-data hygiene report, one row per conversation: first/last
+    role, adjacent same-role repeats (``n_adjacent_dups``), assistant
+    presence, and the strict-dialogue verdict ``alternation_ok``
+    (starts with user, ends with assistant, no adjacent repeats) —
+    the validation gate chat-format trainers run before templating.
+
+    One conv_id Exchange: the lag window and the per-conv aggregate
+    share the same hash partitioning."""
+    wo = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = turns.withColumn("_prev_role", F.lag("role").over(wo))
+    dup = F.sum(
+        F.when(F.col("role") == F.col("_prev_role"), 1).otherwise(0)
+    )
+    first_role = F.expr("min_by(role, turn_idx)")
+    last_role = F.expr("max_by(role, turn_idx)")
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        first_role.alias("first_role"),
+        last_role.alias("last_role"),
+        dup.cast("bigint").alias("n_adjacent_dups"),
+        F.max(
+            (F.col("role") == "assistant").cast("int")
+        ).alias("_has_asst"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "first_role",
+        "last_role",
+        "n_adjacent_dups",
+        (
+            (F.col("first_role") == "user")
+            & (F.col("last_role") == "assistant")
+            & (F.col("n_adjacent_dups") == 0)
+            & (F.col("_has_asst") == 1)
+        ).alias("alternation_ok"),
+    )

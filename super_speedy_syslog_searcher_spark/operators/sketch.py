@@ -218,3 +218,79 @@ def curriculum_bins(scores: DataFrame, col: str = "quality_x10k",
         F.col(col),
         bin_expr.cast("int").alias("bin"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    tok_col=None,
+    seed: str = "budget1",
+) -> DataFrame:
+    """Token-budget corpus assembly: fill each source's token QUOTA
+    (not rate) in deterministic hash order — the "give me exactly
+    ~2B tokens of src_k" step of mixture building, reproducible
+    across engines, runs, and re-sharding.  Docs are ranked per
+    source by the 52-bit hash of (id # source # seed) (id tiebreak)
+    and kept while the running inclusive token sum stays within the
+    budget; the first doc of a source is always kept if any budget
+    is granted (so a tiny budget yields 1 doc, not 0).  Sources
+    absent from the map are dropped.
+
+    Output: (doc_id, source, n_tokens, cum_tokens) for kept docs.
+
+    Scale shape: one Exchange keyed on source feeds the single
+    cumulative-sum window.  Source cardinality is small, so each
+    source's scan is one partition — at 10^12 docs use the two-level
+    per-partition-offset recipe (merge.py global seq) over the same
+    (source, hash, id) order for the running sum; output identical.
+    """
+    tok = (
+        tok_col
+        if tok_col is not None
+        else F.size(F.split(F.col("text"), " "))
+    )
+    bud = None
+    for src, b in sorted(budgets.items()):
+        cond = F.when(F.col(key_col) == src, F.lit(b))
+        bud = cond if bud is None else bud.when(
+            F.col(key_col) == src, F.lit(b)
+        )
+    bud = F.lit(0) if bud is None else bud.otherwise(F.lit(-1))
+    h = _h13(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col(key_col),
+            F.lit("#" + seed),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        tok.cast("bigint").alias("n_tokens"),
+        h.alias("_h"),
+        bud.cast("bigint").alias("_budget"),
+    ).filter(F.col("_budget") >= 0)
+    return (
+        t.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w).cast("bigint"),
+        )
+        .filter(
+            (F.col("cum_tokens") <= F.col("_budget"))
+            | (
+                (F.col("cum_tokens") == F.col("n_tokens"))
+                & (F.col("_budget") > 0)
+            )
+        )
+        .select(id_col, key_col, "n_tokens", "cum_tokens")
+    )
