@@ -1212,6 +1212,14 @@ def q_token_budget_sample(spark, sf_dir):
     return sketch.token_budget_sample(docs, budgets)
 
 
+def q_pack_sft(spark, sf_dir):
+    """SFT packing with loss masks: whole conversations packed into
+    2000-char sequences (two-level distributed prefix sum, no global
+    window), assistant spans re-based to their pack."""
+    session.prep(spark)
+    return sft.pack_sft(transcripts_df(spark, sf_dir), capacity=2000)
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Near-dup survivor selection: connected components over the
     LSH-verified pairs, then keep the highest-quality doc per cluster
@@ -1822,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_of_n": q_best_of_n,
         "preference_pairs": q_preference_pairs,
         "grpo_advantage": q_grpo_advantage,
+        "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
         "fim_split": q_fim_split,
@@ -2182,6 +2191,34 @@ SELECT prompt_key, conv_id, score,
        CAST(n AS BIGINT) AS n_rollouts,
        CAST((1000 * (n * score - s)) // n AS BIGINT) AS adv_permille
 FROM g""",
+        "pack_sft": f"""{b},
+cl AS (
+  SELECT conv_id,
+         CAST(sum(length(role) + 2 + length(text) + 1) AS BIGINT) AS len
+  FROM exp GROUP BY conv_id),
+cs AS (
+  SELECT conv_id, len,
+         COALESCE(sum(len) OVER (ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM cl),
+cp AS (
+  SELECT conv_id, s, s // 2000 AS pack_id FROM cs),
+cq AS (
+  SELECT conv_id, pack_id,
+         s - min(s) OVER (PARTITION BY pack_id) AS conv_off
+  FROM cp),
+mm AS (
+  SELECT conv_id, turn_idx, role,
+    COALESCE(sum(length(role) + 2 + length(text) + 1) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + length(role) + 2 AS st, length(text) AS tl
+  FROM exp)
+SELECT CAST(pack_id AS BIGINT) AS pack_id, mm.conv_id AS conv_id, turn_idx,
+       CAST(st + conv_off AS BIGINT) AS span_start,
+       CAST(st + tl + conv_off AS BIGINT) AS span_end
+FROM mm JOIN cq ON mm.conv_id = cq.conv_id
+WHERE role = 'assistant'""",
         "loss_mask_spans": f"""{b},
 m AS (
   SELECT conv_id, turn_idx, role,

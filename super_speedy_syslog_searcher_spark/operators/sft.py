@@ -364,3 +364,107 @@ def role_alternation(turns: DataFrame) -> DataFrame:
             & (F.col("_has_asst") == 1)
         ).alias("alternation_ok"),
     )
+
+
+def _line_len() -> F.Column:
+    """Rendered length of one turn: 'role: text\\n'."""
+    return F.length("role") + F.lit(2) + F.length("text") + F.lit(1)
+
+
+def pack_sft(
+    turns: DataFrame, capacity: int = 2048
+) -> DataFrame:
+    """SFT sequence packing WITH loss masks: pack whole conversations
+    (never split — the SFT invariant pretraining packing doesn't
+    have) into fixed-capacity training sequences in conv_id order and
+    emit every assistant turn's loss-mask span re-based to its pack:
+
+        pack_id    = exclusive_prefix_sum(conv_len) DIV capacity
+        conv_off   = prefix_sum − min(prefix_sum) within the pack
+        span       = conv-internal offsets (loss_mask_spans) + conv_off
+
+    A conversation longer than `capacity` overflows its pack (packs
+    are bounded by capacity + max_conv_len − 1); the assignment stays
+    a pure function of the corpus, bit-identical across engines.
+
+    Scale shape: the prefix sum over the CONVERSATION-sized length
+    table uses the merge.with_global_seq two-level discipline — range
+    shuffle on conv_id, within-partition cumsum in one Arrow
+    mapInPandas pass (no global single-partition window), per-partition
+    totals (scalar driver traffic) broadcast back as offsets.  Then
+    one pack_id window (pack-sized groups) and one conv_id-keyed join
+    against the turn-level spans."""
+    from pyspark import StorageLevel
+
+    lens = (
+        turns.groupBy("conv_id")
+        .agg(F.sum(_line_len()).cast("bigint").alias("_len"))
+        .repartitionByRange("conv_id")
+        .sortWithinPartitions("conv_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        totals = {
+            r["_pid"]: r["s"]
+            for r in lens.groupBy("_pid")
+            .agg(F.sum("_len").alias("s"))
+            .collect()
+        }
+        offsets, acc = [], 0
+        for pid in sorted(totals):
+            offsets.append((pid, acc))
+            acc += int(totals[pid])
+        spark = turns.sparkSession
+        off_df = spark.createDataFrame(
+            offsets or [(0, 0)], "_pid int, _off long"
+        )
+
+        def _cumsum(batches):
+            run = 0
+            for pdf in batches:
+                ln = pdf["_len"].to_numpy()
+                cum = ln.cumsum() + run - ln  # exclusive
+                run += int(ln.sum())
+                pdf = pdf.assign(_cum=cum)
+                yield pdf[["conv_id", "_pid", "_cum"]]
+
+        local = lens.mapInPandas(
+            _cumsum, "conv_id string, _pid int, _cum long"
+        )
+        s = (
+            local.join(F.broadcast(off_df), "_pid", "left")
+            .select(
+                "conv_id",
+                (
+                    F.col("_cum")
+                    + F.coalesce(F.col("_off"), F.lit(0))
+                ).alias("_s"),
+            )
+            .withColumn(
+                "pack_id",
+                F.expr(f"_s DIV {int(capacity)}").cast("bigint"),
+            )
+        )
+        wpack = Window.partitionBy("pack_id")
+        placed = s.withColumn(
+            "conv_off", (F.col("_s") - F.min("_s").over(wpack))
+        )
+        spans = loss_mask_spans(turns)
+        return spans.join(placed, "conv_id").select(
+            "pack_id",
+            "conv_id",
+            "turn_idx",
+            (F.col("span_start") + F.col("conv_off"))
+            .cast("bigint")
+            .alias("span_start"),
+            (F.col("span_end") + F.col("conv_off"))
+            .cast("bigint")
+            .alias("span_end"),
+        )
+    finally:
+        # the collect above already materialized `lens`; it stays
+        # cached for the second job in the returned plan and Spark's
+        # LRU reclaims it (same convention as merge.with_global_seq
+        # when no staging list is passed).
+        pass

@@ -175,3 +175,64 @@ def test_token_budget_unknown_source_dropped(spark):
         _docs(spark, rows), {"known": 100}
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ------------------------------------------------------------- pack_sft
+
+def _render(rows, conv):
+    return "".join(
+        f"{r}: {t}\n" for c, i, r, t in rows if c == conv
+    )
+
+
+def test_pack_sft_spans_point_at_assistant_text(spark):
+    rows = [
+        ("a", 0, "user", "hello"),
+        ("a", 1, "assistant", "world"),
+        ("b", 0, "user", "q"),
+        ("b", 1, "assistant", "ans"),
+        ("c", 0, "user", "xx"),
+        ("c", 1, "assistant", "yy"),
+    ]
+    cap = 30  # conv 'a' is 'user: hello\nassistant: world\n' = 29
+    out = sft.pack_sft(_turns(spark, rows), capacity=cap).collect()
+    # rebuild each pack's text from conv order and check spans
+    packs = {}
+    convs = sorted({c for c, *_ in rows})
+    cum = 0
+    for c in convs:
+        txt = _render(rows, c)
+        packs.setdefault(cum // cap, []).append((c, txt))
+        cum += len(txt)
+    rendered = {p: "".join(t for _, t in v) for p, v in packs.items()}
+    assert out
+    for r in out:
+        body = rendered[r["pack_id"]]
+        turn_text = next(
+            t for c, i, _, t in rows
+            if c == r["conv_id"] and i == r["turn_idx"]
+        )
+        assert body[r["span_start"]:r["span_end"]] == turn_text
+
+
+def test_pack_sft_never_splits_a_conversation(spark):
+    rows = []
+    for k in range(12):
+        rows.append((f"c{k:02d}", 0, "user", "u" * (3 + k)))
+        rows.append((f"c{k:02d}", 1, "assistant", "a" * (5 + 2 * k)))
+    out = sft.pack_sft(_turns(spark, rows), capacity=60).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], set()).add(r["pack_id"])
+    assert all(len(v) == 1 for v in by_conv.values())
+    assert len({p for v in by_conv.values() for p in v}) > 1
+
+
+def test_pack_sft_plan_has_no_single_partition_exchange(spark):
+    plan = (
+        sft.pack_sft(_turns(spark, [("a", 0, "assistant", "x")]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
