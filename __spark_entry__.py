@@ -916,6 +916,39 @@ def q_streaming_assembly(spark, sf_dir):
     )
 
 
+def q_streaming_scores(spark, sf_dir):
+    """Stateful streaming rollout scoring (the RL / best-of-n feed
+    shape): applyInPandasWithState carries each conversation's
+    (prompt_key, cumulative reward, update seq) across micro-batches
+    (streaming/stateful.py scored_stream), drained with
+    Trigger.AvailableNow.  The final (max upd_seq) row per conv is
+    arrival-order independent — the score is a sum and prompt_key
+    latches when turn 0 arrives — so it equals the batch per-conv
+    score table (operators/sft.py _conv_scores) exactly, and batch
+    best_of_n is its argmax reduction.  Runs over the augmented
+    rollout corpus so shared-prompt groups are real."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.streaming.stateful import (
+        run_scored_available_now,
+    )
+
+    session.prep(spark)
+    r = _rollouts(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4score_in_")
+    out_dir = tempfile.mkdtemp(prefix="s4score_out_")
+    ck = tempfile.mkdtemp(prefix="s4score_ck_")
+    r.write.mode("overwrite").parquet(in_dir)
+    run_scored_available_now(
+        spark, in_dir, out_dir, ck, max_files_per_trigger=4
+    )
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("conv_id").agg(
+        F.expr("max_by(prompt_key, upd_seq)").alias("prompt_key"),
+        F.expr("max_by(score, upd_seq)").cast("bigint").alias("score"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs.  The synthetic embeddings have
     no natural near-dups (max pairwise cosine ~0.44), so the query
@@ -1778,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_dedup": q_streaming_dedup,
         "streaming_assembly": q_streaming_assembly,
+        "streaming_scores": q_streaming_scores,
         "conv_summary": q_conv_summary,
         "routed_enriched": q_routed_enriched,
         "global_summary": q_global_summary,
@@ -2151,6 +2185,11 @@ ch AS (
 SELECT CAST(depth AS INT) AS depth, nodes.prefix_key AS prefix_key,
        n_convs, COALESCE(ch.n_children, 0) AS n_children
 FROM nodes LEFT JOIN ch ON nodes.prefix_key = ch.parent_key""",
+        "streaming_scores": f"""{b},
+{_ROLLOUTS_CTE}
+{_CONV_SCORES_CTE}
+fin AS (SELECT conv_id, prompt_key, score FROM t)
+SELECT conv_id, prompt_key, score FROM fin""",
         "best_of_n": f"""{b},
 {_ROLLOUTS_CTE}
 {_CONV_SCORES_CTE}

@@ -195,3 +195,100 @@ def run_assembled_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------------------
+# Streaming rollout scoring (RL / best-of-n over a live rollout feed)
+
+SCORE_OUTPUT_SCHEMA = (
+    "conv_id string, prompt_key string, score long, upd_seq int"
+)
+SCORE_STATE_SCHEMA = "prompt_key string, score long, upd_seq int"
+
+
+def _score(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-conversation running reward accumulation: state carries
+    (prompt_key, cumulative score, update seq) across micro-batches.
+    prompt_key = md5 of the conversation's FIRST turn text (rollouts
+    of one prompt share it by construction — operators/sft.py
+    _conv_scores), captured when turn 0 arrives; score = total
+    assistant characters so far (the deterministic reward proxy the
+    batch ops use).  One output row per (conv, micro-batch); the
+    highest upd_seq row per conv is the conversation's final score.
+
+    Arrival-order contract (same as _attach): within a conversation,
+    turns arrive in turn_idx order across micro-batches."""
+    import hashlib
+
+    if state.hasTimedOut:  # pragma: no cover - no TTL is set here
+        state.remove()
+        return
+    if state.exists:
+        prompt_key, score, seq = state.get
+    else:
+        prompt_key, score, seq = None, 0, 0
+    (conv_id,) = key
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        if prompt_key is None and len(pdf):
+            first = pdf.iloc[0]
+            if int(first["turn_idx"]) == 0:
+                prompt_key = hashlib.md5(
+                    str(first["text"]).encode("utf-8")
+                ).hexdigest()
+        asst = pdf["role"] == "assistant"
+        score += int(pdf.loc[asst, "text"].str.len().sum())
+        seq += 1
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "prompt_key": [prompt_key],
+                "score": [score],
+                "upd_seq": [seq],
+            }
+        )
+    state.update((prompt_key, score, seq))
+
+
+def scored_stream(stream: DataFrame) -> DataFrame:
+    """conv_id-keyed stateful running scores over a transcript
+    stream."""
+    return (
+        stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _score,
+            outputStructType=SCORE_OUTPUT_SCHEMA,
+            stateStructType=SCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_scored_available_now(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the rollout feed with Trigger.AvailableNow into parquet.
+    Downstream, each conv's max-upd_seq row is its final score and
+    best-of-n reduces to the batch argmax — the driver oracle checks
+    the drained result against batch sft.best_of_n exactly."""
+    from .pipeline import stream_source
+
+    q = (
+        scored_stream(stream_source(spark, in_dir, max_files_per_trigger))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

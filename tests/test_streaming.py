@@ -343,3 +343,45 @@ def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
     assert got.count() == expected
     assert got.select("digest").distinct().count() == expected
     t.unpersist()
+
+
+def test_streaming_scores_equal_batch_and_best_of_n(spark, tmp_path):
+    """Stateful running-score stream: per-conv cumulative reward
+    carried across micro-batches.  The final (max upd_seq) row per
+    conversation equals the batch per-conv score exactly — score is a
+    sum (order-independent) and prompt_key latches when turn 0
+    arrives — so the drained feed reduces to batch best_of_n."""
+    from super_speedy_syslog_searcher_spark.operators import sft
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "sc_in")
+    out_dir = str(tmp_path / "sc_out")
+    ckpt = str(tmp_path / "sc_ck")
+    t = transcripts_df(spark, SF_SMOKE).cache()
+
+    # two arrival batches split on turn ranges (append-only contract)
+    t.filter("turn_idx < 10").coalesce(1).write.mode("append").parquet(in_dir)
+    stateful.run_scored_available_now(spark, in_dir, out_dir, ckpt)
+    t.filter("turn_idx >= 10").coalesce(1).write.mode("append").parquet(in_dir)
+    stateful.run_scored_available_now(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    fin = got.groupBy("conv_id").agg(
+        F.expr("max_by(prompt_key, upd_seq)").alias("prompt_key"),
+        F.expr("max_by(score, upd_seq)").alias("score"),
+    )
+    want = sft._conv_scores(t)
+    assert fin.count() == want.count()
+    assert fin.exceptAll(want.select("conv_id", "prompt_key", "score")).count() == 0
+    # state actually carried: some conv was scored in BOTH batches
+    # (upd_seq reached 2) and its running score strictly grew
+    two = got.filter("upd_seq >= 2")
+    assert two.count() >= 1
+    grew = (
+        got.alias("a")
+        .join(got.alias("b"), "conv_id")
+        .filter("a.upd_seq = 1 AND b.upd_seq = 2 AND b.score > a.score")
+        .count()
+    )
+    assert grew >= 1
+    t.unpersist()
