@@ -1551,6 +1551,89 @@ def q_distinct_kmv(spark, sf_dir):
     return sketch.kmv_distinct(toks, "tok", k=256)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters over the corpus vocabulary:
+    every token whose CM estimate (min over d=4 salted-hash cells of
+    w=1024 counters) reaches total/500, with the exact count
+    alongside — est >= cnt always (the CM no-false-negative
+    guarantee that makes the constant-size sketch a scan pre-filter
+    at 100 TB).  One corpus groupBy; everything after runs on the
+    vocabulary / the d*w-row sketch (broadcast)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cms_heavy_hitters(docs, d=4, w=1024, denom=500)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct estimates in pure integer math (52-bit
+    md5 hash, integer-numerator harmonic sum, ppm-fixed-point alpha,
+    precomputed linear-counting literals) — bit-identical in both
+    engines, unlike approx_count_distinct's JVM-internal HLL++.
+    Two regimes in one result: the tiny document vocabulary (linear
+    counting) and the near-unique transcript texts (raw HLL)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    t = _t(spark, sf_dir)
+    d1 = sketch.hll_distinct(toks, "tok").withColumn(
+        "src", F.lit("doc_tokens")
+    )
+    d2 = sketch.hll_distinct(t.select("text"), "text").withColumn(
+        "src", F.lit("turn_texts")
+    )
+    return d1.unionByName(d2).select(
+        "src", "m", "n_buckets_used", "s_int", "est_raw", "est_distinct"
+    )
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization: gap-based session labels
+    assigned on a live event feed via applyInPandasWithState (state =
+    last event time + session index per user), drained with
+    Trigger.AvailableNow, then aggregated to per-session stats — the
+    result equals batch sessionize exactly (same oracle).  The feed
+    files are user-partitioned (whole-user files), the cluster-scale
+    layout for per-key streaming state."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.streaming.stateful import (
+        run_sessions_available_now,
+    )
+
+    session.prep(spark)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "event_type", "value",
+                "props")
+    )
+    in_dir = tempfile.mkdtemp(prefix="s4sess_in_")
+    out_dir = tempfile.mkdtemp(prefix="s4sess_out_")
+    ck = tempfile.mkdtemp(prefix="s4sess_ck_")
+    ev.repartition(8, "user_id").write.mode("overwrite").parquet(in_dir)
+    run_sessions_available_now(
+        spark, in_dir, out_dir, ck, max_files_per_trigger=2
+    )
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("session_id", "user_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000"
+        ).cast("bigint").alias("duration_s"),
+    ).select(
+        "session_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_s",
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact integer order-statistic quantiles of document length
     (p50/p90/p99 of n_chars in permille ranks) — pure integer math on
@@ -1842,6 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "distinct_kmv": q_distinct_kmv,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
+        "streaming_sessions": q_streaming_sessions,
         "length_quantiles": q_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
@@ -2397,6 +2483,66 @@ def _hex13_sql(expr: str) -> str:
         + ")"
     )
 
+def _hll_sql(src_rel: str, src_label: str, col: str) -> str:
+    """DuckDB twin of operators/sketch.py hll_distinct at p=8 over
+    `col` from relation `src_rel`, as one parenthesized SELECT —
+    same 52-bit hash, integer harmonic-sum numerator, ppm alpha, and
+    the identical precomputed linear-counting literals."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        _alpha_ppm,
+        lc_table,
+    )
+
+    m, rb1 = 256, 45
+    alpha = _alpha_ppm(m)
+    lc = ", ".join(str(v) for v in lc_table(m))
+    big = m * m * (1 << rb1)
+    return f"""
+(SELECT '{src_label}' AS src, CAST({m} AS INT) AS m,
+        CAST(used AS BIGINT) AS n_buckets_used,
+        CAST(s_int AS BIGINT) AS s_int,
+        CAST(est_raw AS BIGINT) AS est_raw,
+        CAST(CASE WHEN est_raw <= {5 * m // 2} AND used < {m}
+             THEN ([{lc}])[CAST({m} - used AS INT)]
+             ELSE est_raw END AS BIGINT) AS est_distinct
+ FROM (
+  SELECT used, s_int,
+         (raw // 1000000) * {alpha}
+           + ((raw % 1000000) * {alpha}) // 1000000 AS est_raw
+  FROM (
+    SELECT used, s_int, CAST({big} AS BIGINT) // s_int AS raw
+    FROM (
+      SELECT count(*) AS used,
+             CAST(sum(CAST(1 AS BIGINT) << ({rb1} - maxrho)) AS BIGINT)
+               + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rb1}) AS s_int
+      FROM (
+        SELECT CAST(hv % {m} AS INT) AS bucket,
+               max(CASE WHEN hv // {m} = 0 THEN {rb1}
+                   ELSE {rb1} - length(bin(hv // {m})) END) AS maxrho
+        FROM (SELECT ({_hex13_sql(col)}) AS hv FROM {src_rel}) hh
+        GROUP BY 1) rr ) aa ) ww ) ee)
+"""
+
+
+_SESSIONIZE_SQL = """WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM g)
+SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sidx AS VARCHAR) AS session_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+FROM s GROUP BY 1, 2"""
+
+
 _ANN_NORM_CTE = """
 n AS (SELECT vec_id, embedding,
   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -2411,6 +2557,7 @@ _DOT = (
 
 
 def _training_data_oracles() -> dict[str, str]:
+    b = O.base()
     minhash_sig = ", ".join(
         f"min(md5(shingle || '#{i}')) AS m{i}" for i in range(8)
     )
@@ -2624,23 +2771,8 @@ SELECT doc_id, quality_x10k,
        CAST(coalesce(sum(CASE WHEN quality_x10k > value THEN 1 ELSE 0 END), 0)
             AS INT) AS bin
 FROM qual CROSS JOIN th GROUP BY 1, 2""",
-        "sessionize": """WITH g AS (
-  SELECT event_id, user_id, ts,
-    CASE WHEN lag(ts) OVER w IS NULL
-          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
-         THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sidx
-  FROM g)
-SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sidx AS VARCHAR) AS session_id,
-       CAST(user_id AS BIGINT) AS user_id,
-       min(ts) AS session_start, max(ts) AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
-FROM s GROUP BY 1, 2""",
+        "sessionize": _SESSIONIZE_SQL,
+        "streaming_sessions": _SESSIONIZE_SQL,
         "asof_join": """WITH a AS (
   SELECT event_id, user_id, ts, event_type, value,
     last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
@@ -3185,6 +3317,24 @@ SELECT CAST(q_permille AS INT) AS q_permille,
        CAST(k AS BIGINT) AS k,
        CAST(min(CASE WHEN cum >= k THEN v END) AS INT) AS value
 FROM r, cum GROUP BY q_permille, k""",
+        "cms_heavy_hitters": f"""WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+vc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+cj AS (SELECT token, cnt, j,
+       CAST(({_hex13_sql("CAST(j AS VARCHAR) || ':' || token")}) % 1024 AS INT) AS cell
+       FROM vc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+cells AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS c
+          FROM cj GROUP BY 1, 2),
+est AS (SELECT cj.token AS token, cj.cnt AS cnt,
+               CAST(min(c) AS BIGINT) AS est
+        FROM cj JOIN cells USING (j, cell) GROUP BY 1, 2),
+thr AS (SELECT CAST(sum(cnt) // 500 AS BIGINT) AS thr FROM vc)
+SELECT token, cnt, est FROM est, thr WHERE est >= thr""",
+        "hll_distinct": f"""{b},
+tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+SELECT * FROM {_hll_sql("tok", "doc_tokens", "t")}
+UNION ALL
+SELECT * FROM {_hll_sql("exp", "turn_texts", "text")}""",
         "distinct_kmv": f"""WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
 h AS (SELECT DISTINCT {_hex13_sql('t')} AS hv FROM tok),

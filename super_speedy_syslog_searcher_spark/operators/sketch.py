@@ -294,3 +294,223 @@ def token_budget_sample(
         )
         .select(id_col, key_col, "n_tokens", "cum_tokens")
     )
+
+
+# ------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+
+def cms_cells(
+    vocab: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-Min sketch over a (token, cnt) vocabulary table: d rows
+    of w counters, cell[j][hash_j(token) % w] += cnt.  hash_j = the
+    52-bit md5 hash salted with the row index — engine-portable and
+    pairwise-independent enough for the CM guarantee in practice.
+
+    Scale shape: the corpus is touched ONCE (the vocabulary groupBy
+    upstream, map-side combined); the d-way expansion runs on the
+    vocabulary-sized table only, and the sketch itself is d*w rows —
+    constant-size, mergeable by cell-wise addition across shards
+    (how a 100 TB corpus builds it: per-partition sketches + one
+    d*w-row reduce)."""
+    cj = vocab.select(
+        "token",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn(
+        "cell",
+        (
+            _h13(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("token"),
+                )
+            )
+            % w
+        ).cast("int"),
+    )
+    return cj.groupBy("j", "cell").agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, d: int = 4, w: int = 1024, denom: int = 500
+) -> DataFrame:
+    """Heavy hitters by Count-Min estimate: every token whose CM
+    estimate (min over the d cells it hashes to) reaches
+    total_tokens/denom.  The CM overcount guarantee (est >= true
+    count, never under) means no true heavy hitter is missed —
+    the property that makes the constant-size sketch usable as a
+    pre-filter at 100 TB, where the exact vocabulary is a shuffle
+    but the sketch is a broadcast.
+
+    Output: (token, cnt, est) — exact count carried alongside so the
+    overcount is visible; est >= cnt always.
+
+    Plan: one corpus groupBy (vocab), d*w-row sketch broadcast back
+    onto the vocab's d-way expansion, min-reduce, scalar threshold."""
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cells = cms_cells(vocab, d, w)
+    cj = vocab.select(
+        "token",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn(
+        "cell",
+        (
+            _h13(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("token"),
+                )
+            )
+            % w
+        ).cast("int"),
+    )
+    est = (
+        cj.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("token", "cnt")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+    total = vocab.agg(
+        F.expr(f"sum(cnt) DIV {denom}").cast("bigint").alias("thr")
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.col("thr"))
+        .select("token", "cnt", "est")
+    )
+
+
+# ------------------------------------------------------------------
+# HyperLogLog distinct estimate (integer-exact, engine-portable)
+
+def _alpha_ppm(m: int) -> int:
+    """Standard HLL bias-correction constant in parts-per-million."""
+    if m == 16:
+        a = 0.673
+    elif m == 32:
+        a = 0.697
+    elif m == 64:
+        a = 0.709
+    else:
+        a = 0.7213 / (1 + 1.079 / m)
+    return round(a * 1_000_000)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table for `col`: bucket = low p bits of
+    the 52-bit md5 hash, rho = leading-zero run length + 1 within the
+    remaining (52-p)-bit field, register = max rho per bucket.
+
+    The register table IS the persistable sketch: registers from
+    disjoint shards merge by element-wise max (tested), which is how
+    a 100 TB corpus computes one distinct estimate with a
+    2^p-row reduce instead of a corpus-wide distinct shuffle.  Unlike
+    Spark's built-in approx_count_distinct (HLL++, JVM-internal
+    hashing), every bit here is reproducible in any engine."""
+    m = 1 << p
+    rbits = 52 - p
+    h = _h13(F.col(col))
+    return (
+        df.select(
+            (h % m).cast("int").alias("bucket"),
+            F.floor(h / m).cast("bigint").alias("_rest"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("_rest") == 0, F.lit(rbits + 1))
+            .otherwise(
+                F.lit(rbits + 1)
+                - F.length(F.conv(F.col("_rest"), 10, 2))
+            )
+            .cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("maxrho"))
+    )
+
+
+def lc_table(m: int) -> list[int]:
+    """Linear-counting estimates floor(m·ln(m/V)) for V = 1..m empty
+    buckets, precomputed ONCE in Python and embedded as integer
+    literals in both engines — no runtime ln() whose libm could
+    differ between JVM and DuckDB."""
+    import math
+
+    return [int(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One-row HLL distinct-count estimate in pure integer math.
+
+    S = sum over all 2^p buckets of 2^(-rho), expressed exactly as an
+    integer numerator over the common denominator 2^(rbits+1):
+      S_int = sum_present 2^(rbits+1-maxrho) + (m-used)*2^(rbits+1)
+      raw   = (m^2 * 2^(rbits+1)) DIV S_int          (= m^2/S floored)
+      est   = (raw DIV 1e6)*alpha_ppm + ((raw % 1e6)*alpha_ppm) DIV 1e6
+    That last line equals floor(alpha*raw) exactly while keeping every
+    intermediate below 2^63 for raw up to ~9e12 distinct values.
+
+    Small-range correction (Flajolet et al. 2007): when est_raw <=
+    2.5m and some bucket is empty, linear counting m·ln(m/V) replaces
+    the raw estimate — looked up from lc_table's precomputed integer
+    literals (element_at), so the correction is bit-identical across
+    engines too.  Expected relative error ~1.04/sqrt(2^p) (6.5% at
+    p=8) in the raw regime; LC is much tighter at small n."""
+    m = 1 << p
+    rb1 = 52 - p + 1
+    alpha = _alpha_ppm(m)
+    lc = lc_table(m)
+    reg = hll_registers(df, col, p)
+    return (
+        reg.agg(
+            F.count("*").cast("bigint").alias("used"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {rb1} - maxrho)")
+            ).cast("bigint").alias("sp"),
+        )
+        .withColumn(
+            "s_int",
+            (
+                F.col("sp")
+                + (m - F.col("used")) * F.lit(1 << rb1).cast("bigint")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "raw",
+            F.expr(f"CAST({m * m * (1 << rb1)} AS BIGINT) DIV s_int"),
+        )
+        .withColumn(
+            "est_raw",
+            F.expr(
+                f"(raw DIV 1000000) * {alpha}"
+                f" + ((raw % 1000000) * {alpha}) DIV 1000000"
+            ).cast("bigint"),
+        )
+        .select(
+            F.lit(m).cast("int").alias("m"),
+            F.col("used").cast("bigint").alias("n_buckets_used"),
+            "s_int",
+            "est_raw",
+            F.when(
+                (F.col("est_raw") <= F.lit(5 * m // 2))
+                & (F.col("used") < m),
+                F.element_at(
+                    F.array(*[F.lit(v).cast("bigint") for v in lc]),
+                    (m - F.col("used")).cast("int"),
+                ),
+            )
+            .otherwise(F.col("est_raw"))
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )

@@ -292,3 +292,109 @@ def run_scored_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------------------
+# Streaming sessionization (gap-based sessions over a live event feed)
+
+SESSION_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, session_id string"
+)
+SESSION_STATE_SCHEMA = "last_ts_us long, sidx long"
+
+GAP_US_DEFAULT = 120 * 60 * 1_000_000  # operators/temporal.py GAP_MINUTES
+
+
+def _sessionize(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int = GAP_US_DEFAULT,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap-based session assignment with the (last event
+    time, session index) carried across micro-batches — the streaming
+    twin of operators/temporal.py sessionize (same strict-> break,
+    same dense "<user>#<idx>" labels), equal to the batch op exactly
+    under the arrival-order contract: a user's events arrive in
+    (ts, event_id) order across micro-batches.
+
+    All µs values stay below 2^53, so the float round-trip through
+    pandas shift() is exact."""
+    if state.hasTimedOut:  # pragma: no cover - no TTL here
+        state.remove()
+        return
+    last_us, sidx = state.get if state.exists else (None, 0)
+    (user_id,) = key
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000
+        prev = us.shift(1).astype("float64")
+        if last_us is not None:
+            prev.iloc[0] = float(last_us)
+        brk = prev.isna() | ((us - prev) > gap_us)
+        sx = sidx + brk.cumsum().astype("int64")
+        out = pdf[["event_id", "user_id", "ts"]].copy()
+        out["session_id"] = (
+            str(user_id) + "#" + sx.astype("int64").astype(str)
+        )
+        last_us = int(us.iloc[-1])
+        sidx = int(sx.iloc[-1])
+        yield out
+    state.update((last_us, sidx))
+
+
+def sessionized_stream(stream: DataFrame) -> DataFrame:
+    """user_id-keyed stateful session labels over an event stream."""
+    return (
+        stream.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream_source(
+    spark, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream of events parquet (the clickstream feed; the
+    Iceberg streaming read is the cluster-scale equivalent)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        .parquet(in_dir)
+    )
+
+
+def run_sessions_available_now(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the event feed with Trigger.AvailableNow into parquet
+    session-labeled events."""
+    q = (
+        sessionized_stream(
+            events_stream_source(spark, in_dir, max_files_per_trigger)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

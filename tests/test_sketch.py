@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.operators import sketch
 
+from tests.conftest import SF_SMOKE
+
 
 def _plan(df) -> str:
     buf = io.StringIO()
@@ -94,3 +96,85 @@ def test_int_quantiles_exact_order_statistics(spark):
         for r in sketch.int_quantiles(df2, "x").collect()
     }
     assert out2 == {500: 5, 900: 9, 990: 10}
+
+
+def test_cms_heavy_hitters_guarantee_and_mergeability(spark):
+    """CM overcount guarantee (est >= cnt for every token) and sketch
+    mergeability: cell-wise SUM of the two half-corpus sketches ==
+    the whole-corpus sketch (how a sharded 100 TB build reduces)."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        cms_cells,
+        cms_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    hh = cms_heavy_hitters(docs, d=4, w=1024, denom=500)
+    assert hh.filter("est < cnt").count() == 0
+    assert hh.count() >= 1
+
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    lo = docs.filter("doc_id % 2 = 0")
+    hi = docs.filter("doc_id % 2 = 1")
+
+    def vocab_of(d):
+        return (
+            d.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    merged = (
+        cms_cells(vocab_of(lo))
+        .unionByName(cms_cells(vocab_of(hi)))
+        .groupBy("j", "cell")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    whole = cms_cells(vocab)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    """HLL registers merge by element-wise max (shard-and-reduce at
+    100 TB); the corrected estimate lands within the expected error
+    band in BOTH regimes (linear counting at tiny n, raw HLL at
+    large n)."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = docs.select(F.col("doc_id").cast("string").alias("v"))
+
+    lo = ids.filter("CAST(v AS BIGINT) % 2 = 0")
+    hi = ids.filter("CAST(v AS BIGINT) % 2 = 1")
+    merged = (
+        hll_registers(lo, "v")
+        .unionByName(hll_registers(hi, "v"))
+        .groupBy("bucket")
+        .agg(F.max("maxrho").cast("int").alias("maxrho"))
+    )
+    whole = hll_registers(ids, "v")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    # accuracy: docs ids (few hundred -> LC regime at p=8)
+    n = ids.distinct().count()
+    est = hll_distinct(ids, "v").collect()[0]["est_distinct"]
+    assert abs(est - n) <= max(4, int(0.25 * n))
+
+    # raw regime: many distinct values via a derived high-card column
+    big = spark.range(20000).select(
+        F.md5(F.col("id").cast("string")).alias("v")
+    )
+    row = hll_distinct(big, "v").collect()[0]
+    assert row["est_raw"] == row["est_distinct"]  # no LC at this n
+    assert abs(row["est_distinct"] - 20000) <= 0.25 * 20000

@@ -385,3 +385,68 @@ def test_streaming_scores_equal_batch_and_best_of_n(spark, tmp_path):
     )
     assert grew >= 1
     t.unpersist()
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Stateful streaming session labels across micro-batches equal
+    batch sessionize exactly; the (last ts, session idx) state
+    survives both micro-batch and restart (checkpoint) boundaries."""
+    from super_speedy_syslog_searcher_spark.operators.temporal import (
+        sessionize,
+    )
+    from super_speedy_syslog_searcher_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "se_in")
+    out_dir = str(tmp_path / "se_out")
+    ckpt = str(tmp_path / "se_ck")
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .cache()
+    )
+    # split INSIDE a multi-event session (the sparse smoke corpus has
+    # ~10 h between a user's events, so a median split never lands in
+    # one) — per-user arrival stays ts-ordered, and the chosen
+    # session provably spans both batches
+    span = (
+        sessionize(ev)
+        .groupBy("session_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .filter("n >= 2")
+        .orderBy(F.desc("n"), "session_id")
+        .first()
+    )
+    mid = span["t0"] + (span["t1"] - span["t0"]) / 2
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stateful.run_sessions_available_now(spark, in_dir, out_dir, ckpt)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stateful.run_sessions_available_now(spark, in_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+    want = sessionize(ev).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the split actually exercised cross-batch state: some user has
+    # ONE session spanning both sides of the median
+    spanning = (
+        got.withColumn("side", (F.col("ts") > mid).cast("int"))
+        .groupBy("session_id")
+        .agg(F.countDistinct("side").alias("sides"))
+        .filter("sides = 2")
+        .count()
+    )
+    assert spanning >= 1
+    ev.unpersist()
