@@ -1634,6 +1634,143 @@ def q_streaming_sessions(spark, sf_dir):
     )
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter pre-join membership filter: the key set (every
+    10th document's text) is summarized as <= 512 set-bit positions
+    (broadcast), candidates pass iff all 4 salted-hash positions are
+    set.  No false negatives ever (bloom_pass ⊇ exact, test-pinned);
+    false positives surfaced per row — the deterministic, oracle-
+    checkable form of Spark's runtime bloom-filter pushdown."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    return sketch.bloom_prefilter(docs, keys, mbits=512, k=4)
+
+
+def q_rate_anomalies(spark, sf_dir):
+    """Per-sink hourly rate anomalies over the routed pipeline
+    output: hours whose row count exceeds 3× the sink's exact median
+    hourly count, flagged with integer cross-multiplication (no
+    float percentile)."""
+    session.prep(spark)
+    return stats.rate_anomalies(
+        P.assembled(_t(spark, sf_dir), narrow=True)
+    )
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout keys over (turn_idx, conv-number):
+    the multi-dim clustering key for OPTIMIZE ZORDER-style layout
+    rewrites, pure integer bit interleave + top-bit bucket."""
+    from super_speedy_syslog_searcher_spark.operators import layout
+
+    session.prep(spark)
+    t = _t(spark, sf_dir)
+    d = t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        (
+            F.substring("conv_id", 6, 10).cast("long") % 65536
+        ).alias("_y"),
+    )
+    return layout.zorder_key(d, "turn_idx", "_y", bits=16,
+                             n_buckets=64).select(
+        "conv_id", "turn_idx", "zkey", "zbucket"
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Corpus inverted index: per token, document frequency plus the
+    rendered (doc:pos) posting list in (doc_id, pos) order; tokens
+    above the df cap keep df but elide postings (the stopword rule —
+    and the posting-list skew guard)."""
+    from super_speedy_syslog_searcher_spark.operators import textstats
+
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.inverted_index(docs, df_cap=64)
+
+
+def q_response_latency(spark, sf_dir):
+    """Reply-latency distribution over (user -> assistant) pairs:
+    exact integer p50/p90/p99 of whole-second latencies — the SLA
+    profile of an agent-transcript corpus."""
+    session.prep(spark)
+    out = sft.response_latency(transcripts_df(spark, sf_dir))
+    return out.select(
+        F.col("q_permille").cast("int").alias("q_permille"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-diff CDC classification between two corpus versions
+    derived identically in both engines: every 13th doc removed,
+    every 7th changed (' v2' suffix), every 11th re-added under a new
+    id.  One id-keyed digest join; no text moves."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    changed = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("new doc "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    new = changed.unionByName(added)
+    return transforms.corpus_diff(docs, new)
+
+
+def q_json_props(spark, sf_dir):
+    """Schema-on-read JSON payload extraction over events.props
+    (JVM-side get_json_object, whole-stage codegen) aggregated per
+    event_type."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transforms.json_props_stats(ev)
+
+
+def q_streaming_hll(spark, sf_dir):
+    """HLL registers maintained over a live stream (complete-mode
+    groupBy(bucket) max aggregate — state bounded at 2^p rows at any
+    stream volume), drained with Trigger.AvailableNow; equals the
+    batch register sketch over the same corpus exactly (max is order-
+    and redelivery-insensitive, exercised with a redelivered file
+    subset)."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.streaming import (
+        pipeline as SP,
+    )
+
+    session.prep(spark)
+    t = _t(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4hll_in_")
+    t.write.mode("overwrite").parquet(in_dir)
+    t.filter(F.col("turn_idx") % 5 == 0).write.mode("append").parquet(
+        in_dir
+    )
+    name = "s4_stream_hll_q"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    SP.run_hll_to_memory(spark, in_dir, name, col="text")
+    return spark.table(name).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("maxrho").cast("int").alias("maxrho"),
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact integer order-statistic quantiles of document length
     (p50/p90/p99 of n_chars in permille ranks) — pure integer math on
@@ -1928,6 +2065,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "streaming_sessions": q_streaming_sessions,
+        "bloom_prefilter": q_bloom_prefilter,
+        "rate_anomalies": q_rate_anomalies,
+        "zorder_key": q_zorder_key,
+        "inverted_index": q_inverted_index,
+        "corpus_diff": q_corpus_diff,
+        "json_props": q_json_props,
+        "streaming_hll": q_streaming_hll,
+        "response_latency": q_response_latency,
         "length_quantiles": q_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
@@ -2482,6 +2627,16 @@ def _hex13_sql(expr: str) -> str:
         + " + ".join(f"{nib(i)} * {16 ** (13 - i)}" for i in range(1, 14))
         + ")"
     )
+
+def _morton_sql(bits: int) -> str:
+    """DuckDB twin of operators/layout.py zorder_key's bit
+    interleave over columns x, y."""
+    return " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i})"
+        f" + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
 
 def _hll_sql(src_rel: str, src_label: str, col: str) -> str:
     """DuckDB twin of operators/sketch.py hll_distinct at p=8 over
@@ -3317,6 +3472,106 @@ SELECT CAST(q_permille AS INT) AS q_permille,
        CAST(k AS BIGINT) AS k,
        CAST(min(CASE WHEN cum >= k THEN v END) AS INT) AS value
 FROM r, cum GROUP BY q_permille, k""",
+        "bloom_prefilter": f"""WITH ks AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 0),
+pos AS (SELECT DISTINCT
+          CAST(({_hex13_sql("CAST(j AS VARCHAR) || ':' || text")}) % 512 AS INT) AS pos
+        FROM ks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+cd AS (SELECT doc_id, j,
+          CAST(({_hex13_sql("CAST(j AS VARCHAR) || ':' || text")}) % 512 AS INT) AS pos
+       FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+hit AS (SELECT doc_id, count(*) AS nh FROM cd JOIN pos USING (pos) GROUP BY 1),
+ex AS (SELECT DISTINCT d.doc_id FROM documents d JOIN ks ON d.text = ks.text)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(h.nh >= 4, FALSE) AS bloom_pass,
+       (e.doc_id IS NOT NULL) AS exact,
+       (COALESCE(h.nh >= 4, FALSE) AND e.doc_id IS NULL) AS false_positive
+FROM documents d LEFT JOIN hit h USING (doc_id) LEFT JOIN ex e USING (doc_id)""",
+        "rate_anomalies": f"""{b},
+hh AS (SELECT sink_eff AS sink, date_trunc('hour', ts_eff) AS hour,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM asm WHERE ts_eff IS NOT NULL GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY sink ORDER BY n_rows, hour) AS rn,
+              count(*) OVER (PARTITION BY sink) AS n
+       FROM hh),
+md AS (SELECT sink, n_rows AS median_rows FROM rk WHERE rn = (n + 1) // 2)
+SELECT h.sink AS sink, h.hour AS hour, h.n_rows AS n_rows,
+       CAST(m.median_rows AS BIGINT) AS median_rows,
+       (h.n_rows * 1000 > 3000 * m.median_rows) AS is_anomaly
+FROM hh h JOIN md m USING (sink)""",
+        "zorder_key": f"""{b},
+d AS (SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+             CAST(turn_idx AS BIGINT) AS x,
+             CAST(substr(conv_id, 6) AS BIGINT) % 65536 AS y
+      FROM exp),
+z AS (SELECT conv_id, turn_idx, CAST({_morton_sql(16)} AS BIGINT) AS zkey FROM d)
+SELECT conv_id, turn_idx, zkey, CAST(zkey >> 26 AS INT) AS zbucket FROM z""",
+        "inverted_index": """WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tk AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM w),
+tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM tk WHERE ws[i] <> ''),
+ag AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR), ','
+                  ORDER BY doc_id, pos) AS p
+       FROM tok GROUP BY 1)
+SELECT token, df, CASE WHEN df <= 64 THEN p END AS postings FROM ag""",
+        "response_latency": f"""{b},
+f AS (
+  SELECT conv_id, turn_idx, role, ts,
+    min(CASE WHEN role = 'assistant' THEN turn_idx END) OVER w AS asst_idx,
+    min(CASE WHEN role = 'user' THEN turn_idx END) OVER w AS next_user_idx,
+    min_by(CASE WHEN role = 'assistant' THEN ts END,
+           CASE WHEN role = 'assistant' THEN turn_idx END) OVER w AS asst_ts
+  FROM exp
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+lat AS (
+  SELECT CAST((epoch_us(asst_ts) - epoch_us(ts)) // 1000000 AS BIGINT) AS v
+  FROM f
+  WHERE role = 'user' AND asst_idx IS NOT NULL
+    AND (next_user_idx IS NULL OR asst_idx < next_user_idx)),
+freq AS (SELECT v, count(*) AS c FROM lat GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM freq),
+tot AS (SELECT count(*) AS n FROM lat),
+qs AS (SELECT unnest([500, 900, 990]) AS q_permille),
+r AS (SELECT q_permille, (q_permille * n + 999) // 1000 AS k FROM qs, tot)
+SELECT CAST(q_permille AS INT) AS q_permille,
+       CAST(k AS BIGINT) AS k,
+       CAST(min(CASE WHEN cum >= k THEN v END) AS BIGINT) AS value
+FROM r, cum GROUP BY q_permille, k""",
+        "corpus_diff": """WITH o AS (
+  SELECT doc_id, md5(text) AS od FROM documents),
+nw AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nd
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id, od, nd
+      FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN nd IS NULL THEN 'removed'
+            WHEN od IS NULL THEN 'added'
+            WHEN od <> nd THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j""",
+        "json_props": """WITH t AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM t GROUP BY 1""",
+        "streaming_hll": f"""{b},
+h AS (SELECT ({_hex13_sql("text")}) AS hv FROM exp)
+SELECT CAST(hv % 256 AS INT) AS bucket,
+       CAST(max(CASE WHEN hv // 256 = 0 THEN 45
+                ELSE 45 - length(bin(hv // 256)) END) AS INT) AS maxrho
+FROM h GROUP BY 1""",
         "cms_heavy_hitters": f"""WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
 vc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),

@@ -468,3 +468,60 @@ def pack_sft(
         # LRU reclaims it (same convention as merge.with_global_seq
         # when no staging list is passed).
         pass
+
+
+def response_latency(turns: DataFrame) -> DataFrame:
+    """Reply-latency distribution: for every (user → first following
+    assistant) pair — same intervening-user guard as
+    build_sft_pairs — the whole-second latency between the two
+    turns' ingest timestamps, summarized as exact integer order-
+    statistic quantiles (p50/p90/p99 via sketch.int_quantiles).
+
+    Shape: the pair extraction reuses the single descending-frame
+    conv window (no corpus self-join); the quantile step's corpus
+    pass is one map-side-combined groupBy on the distinct latency
+    values."""
+    from .sketch import int_quantiles
+
+    w_follow = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    asst_idx = F.min(
+        F.when(F.col("role") == "assistant", F.col("turn_idx"))
+    ).over(w_follow)
+    user_idx = F.min(
+        F.when(F.col("role") == "user", F.col("turn_idx"))
+    ).over(w_follow)
+    asst_ts = F.expr(
+        "min_by(CASE WHEN role = 'assistant' THEN ts END,"
+        " CASE WHEN role = 'assistant' THEN turn_idx END)"
+    ).over(w_follow)
+    pairs = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "ts",
+            asst_idx.alias("asst_idx"),
+            user_idx.alias("next_user_idx"),
+            asst_ts.alias("asst_ts"),
+        )
+        .filter(
+            (F.col("role") == "user")
+            & F.col("asst_idx").isNotNull()
+            & (
+                F.col("next_user_idx").isNull()
+                | (F.col("asst_idx") < F.col("next_user_idx"))
+            )
+        )
+        .select(
+            F.expr(
+                "(unix_micros(asst_ts) - unix_micros(ts)) DIV 1000000"
+            )
+            .cast("bigint")
+            .alias("latency_s")
+        )
+    )
+    return int_quantiles(pairs, "latency_s")

@@ -514,3 +514,113 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Bloom-filter pre-join filter
+
+def bloom_positions(
+    keys: DataFrame, col: str, mbits: int = 512, k: int = 4
+) -> DataFrame:
+    """Bloom filter of a key set as a relation of set-bit positions:
+    positions = { h_j(key) % mbits : key in keys, j < k } with the
+    salted 52-bit md5 hash — deterministic and engine-portable.  The
+    positions table is at most mbits rows, i.e. broadcastable no
+    matter how large the key set it summarizes."""
+    return (
+        keys.select(F.col(col).alias("_k"))
+        .select(
+            "_k",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(k)])
+            ).alias("j"),
+        )
+        .select(
+            (
+                _h13(
+                    F.concat(
+                        F.col("j").cast("string"), F.lit(":"), F.col("_k")
+                    )
+                )
+                % mbits
+            ).cast("int").alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    keys: DataFrame,
+    cand_col: str = "text",
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    mbits: int = 512,
+    k: int = 4,
+) -> DataFrame:
+    """Membership pre-filter via a Bloom filter of `keys`: a candidate
+    passes iff all k of its hash positions are set.  No false
+    negatives ever (every true member passes — the property that
+    makes the bloom a safe pre-join filter); false positives are the
+    price of the constant size, surfaced per row for audit.
+
+    Output: (id, bloom_pass, exact, false_positive).
+
+    Scale shape: the positions relation is collected into an
+    mbits-bit literal bitmask — BOUNDED driver traffic (mbits/64
+    longs, never key-set-sized) — and the membership test is then a
+    PURE NARROW MAP over the candidates (k hash + bit probes per row,
+    zero candidate-side shuffle): the hand-rolled form of what
+    Spark's runtime bloom-filter pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) broadcasts,
+    here deterministic and engine-checkable.  Only the `exact` audit
+    column pays a join, and that one is a broadcast left-semi of the
+    key digests; production keeps only bloom_pass and lets the
+    (cheap, rare) false positives fall out of the real join."""
+    # bounded collect: <= mbits rows regardless of |keys|
+    words = [0] * ((mbits + 63) // 64)
+    for r in bloom_positions(keys, key_col, mbits, k).collect():
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    # int64 literals (bit 63 wraps to the sign bit; arithmetic >>
+    # sign-extends HIGH bits only, so `(w >> s) & 1` stays exact)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    cand = candidates.select(
+        F.col(id_col).alias("_id"), F.col(cand_col).alias("_c")
+    )
+    probes = []
+    for j in range(k):
+        cand = cand.withColumn(
+            f"_p{j}",
+            (
+                _h13(
+                    F.concat(
+                        F.lit(f"{j}:"), F.col("_c")
+                    )
+                )
+                % mbits
+            ).cast("int"),
+        )
+        probes.append(
+            f"(shiftright(element_at({mask_sql},"
+            f" CAST(_p{j} DIV 64 AS INT) + 1), _p{j} % 64) & 1) = 1"
+        )
+    cand = cand.withColumn("bloom_pass", F.expr(" AND ".join(probes)))
+    exact = (
+        keys.select(F.md5(F.col(key_col)).alias("_kd"))
+        .distinct()
+        .withColumn("exact", F.lit(True))
+    )
+    return (
+        cand.withColumn("_kd", F.md5("_c"))
+        .join(F.broadcast(exact), "_kd", "left")
+        .select(
+            F.col("_id").cast("bigint").alias(id_col),
+            "bloom_pass",
+            F.coalesce("exact", F.lit(False)).alias("exact"),
+            (
+                F.col("bloom_pass") & ~F.coalesce("exact", F.lit(False))
+            ).alias("false_positive"),
+        )
+    )

@@ -123,3 +123,57 @@ def global_summary(assembled: DataFrame) -> DataFrame:
         F.max("ts_eff").alias("dt_last"),
         F.countDistinct("conv_id").alias("convs"),
     )
+
+
+def rate_anomalies(
+    assembled: DataFrame,
+    ts_col: str = "ts_eff",
+    sink_col: str = "sink_eff",
+    thresh_permille: int = 3000,
+) -> DataFrame:
+    """Per-sink hourly rate anomalies — the alerting aggregate a log
+    pipeline runs on its own routed output: an (sink, hour) cell is
+    anomalous when its row count exceeds thresh_permille/1000 × that
+    sink's MEDIAN hourly count.  The median is the exact order
+    statistic (value at rank ceil(n/2) of the sink's hour-count list)
+    and the threshold test is integer cross-multiplication
+    (1000·rows > thresh·median) — no float percentile or division to
+    diverge between engines.
+
+    Scale shape: the corpus is touched by ONE map-side-combined
+    groupBy(sink, hour); the median rank window and the flag run on
+    the (sinks × hours)-sized count table.  Output one row per
+    (sink, hour) with the flag, so downstream alert routing is a
+    filter."""
+    hh = (
+        assembled.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(sink_col).alias("sink"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    wr = Window.partitionBy("sink").orderBy("n_rows", "hour")
+    wn = Window.partitionBy("sink")
+    med = (
+        hh.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn(
+            "_med",
+            F.when(
+                F.col("_rn") == F.expr("CAST((_n + 1) DIV 2 AS INT)"),
+                F.col("n_rows"),
+            ),
+        )
+        .withColumn("median_rows", F.max("_med").over(wn))
+    )
+    return med.select(
+        "sink",
+        "hour",
+        "n_rows",
+        F.col("median_rows").cast("bigint").alias("median_rows"),
+        (
+            F.col("n_rows") * 1000
+            > F.lit(thresh_permille) * F.col("median_rows")
+        ).alias("is_anomaly"),
+    )

@@ -701,3 +701,55 @@ def pack_sequences_bucketed(
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def inverted_index(docs: DataFrame, df_cap: int = 64) -> DataFrame:
+    """Inverted index over the corpus: one row per token with its
+    document frequency and a rendered posting list
+    "doc:pos,doc:pos,..." in (doc_id, pos) order — the lookup
+    structure contamination / attribution / search tooling builds
+    over training corpora.
+
+    Tokens whose document frequency exceeds df_cap keep df but elide
+    postings (NULL) — the stopword rule every real index applies,
+    and the skew guard here: posting lists are the classic hot key,
+    and the cap bounds the per-token collect_list at df_cap
+    documents' worth of positions.
+
+    Scale shape: one posexplode + one token-keyed groupBy (the
+    unavoidable index shuffle); the count and the capped list share
+    it.  Rendering is in-row (sort_array + transform + array_join),
+    no second pass."""
+    tok = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(F.split(F.lower("text"), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("_p"),
+        )
+        .select(
+            "token",
+            "df",
+            F.when(
+                F.col("df") <= df_cap,
+                F.array_join(
+                    F.transform(
+                        "_p",
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["doc_id"].cast("string"),
+                            s["pos"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                ),
+            ).alias("postings"),
+        )
+    )

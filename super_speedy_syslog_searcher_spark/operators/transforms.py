@@ -73,3 +73,59 @@ def fim_split(
             middle,
         ).alias("fim_text"),
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the daily-refresh
+    CDC shape: classify every doc id as added / removed / changed /
+    unchanged by comparing content digests in a full outer join on
+    the id.  Output (doc_id, status).
+
+    Scale: one id-keyed shuffle join of two digest projections (each
+    a narrow md5 map over its snapshot); no text ever moves, only
+    32-byte digests.  On bucketed/Iceberg tables both sides arrive
+    pre-partitioned and the join is Exchange-free."""
+    o = old.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.md5("text").alias("_od"),
+    )
+    n = new.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.md5("text").alias("_nd"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured payload extraction — the schema-on-read step
+    every log pipeline has: pull the integer field `k` out of the
+    JSON `props` column and aggregate it per event_type
+    (n, with_k, sum_k, min_k, max_k).
+
+    get_json_object runs JVM-side (Jackson) inside whole-stage
+    codegen — no Python in the hot path; rows with missing/invalid k
+    aggregate as NULL, counted separately."""
+    # try_cast: a malformed k ('{"k": "nan"}') must aggregate as NULL,
+    # not kill the job under ANSI mode (DuckDB twin uses TRY_CAST)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        events.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

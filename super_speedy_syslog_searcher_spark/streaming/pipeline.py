@@ -134,3 +134,35 @@ def run_hourly_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def hll_register_stream(stream: DataFrame, col: str = "text") -> DataFrame:
+    """HLL registers maintained over a stream: the groupBy(bucket)
+    max(rho) aggregate is streaming-legal (complete/update mode), so
+    the 2^p-row register table stays current as micro-batches arrive
+    — a running distinct-count sketch over an unbounded feed, with
+    state bounded at 2^p rows regardless of stream volume.  Registers
+    equal the batch sketch over everything ingested so far
+    (max is order- and redelivery-insensitive)."""
+    from ..operators.sketch import hll_registers
+
+    return hll_registers(stream, col)
+
+
+def run_hll_to_memory(
+    spark: SparkSession,
+    in_dir: str,
+    query_name: str,
+    col: str = "text",
+) -> None:
+    """Drain the register stream to an in-memory sink (complete
+    mode); on a cluster this is an update-mode sink keyed on bucket."""
+    q = (
+        hll_register_stream(stream_source(spark, in_dir), col)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

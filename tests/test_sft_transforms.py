@@ -236,3 +236,39 @@ def test_pack_sft_plan_has_no_single_partition_exchange(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_response_latency_known_values(spark):
+    """Hand-built conversations: pair latencies {10, 20, 30} ->
+    p50 = 20 (rank 2 of 3), p90/p99 = 30; an intervening-user pair
+    contributes nothing."""
+    import datetime as dtm
+
+    from super_speedy_syslog_searcher_spark.operators.sft import (
+        response_latency,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(c, i, role, sec):
+        return (c, i, role, f"{role} {c}:{i}", "none",
+                t0 + dtm.timedelta(seconds=sec))
+
+    rows = [
+        # conv a: two clean pairs (10 s, 20 s)
+        row("a", 0, "user", 0), row("a", 1, "assistant", 10),
+        row("a", 2, "user", 100), row("a", 3, "assistant", 120),
+        # conv b: one clean pair (30 s) + an intervening-user miss
+        row("b", 0, "user", 0), row("b", 1, "user", 5),
+        row("b", 2, "assistant", 35),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {r["q_permille"]: (r["k"], r["value"])
+           for r in response_latency(df).collect()}
+    assert got[500] == (2, 20)
+    assert got[900] == (3, 30)
+    assert got[990] == (3, 30)

@@ -178,3 +178,53 @@ def test_hll_registers_merge_and_accuracy(spark):
     row = hll_distinct(big, "v").collect()[0]
     assert row["est_raw"] == row["est_distinct"]  # no LC at this n
     assert abs(row["est_distinct"] - 20000) <= 0.25 * 20000
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member passes the bloom (exact => bloom_pass), and
+    false_positive is precisely bloom_pass & ~exact."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        bloom_prefilter,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    keys = docs.filter("doc_id % 10 = 0").select("text")
+    out = bloom_prefilter(docs, keys, mbits=512, k=4).cache()
+    assert out.filter("exact AND NOT bloom_pass").count() == 0
+    assert out.filter(
+        "false_positive != (bloom_pass AND NOT exact)"
+    ).count() == 0
+    n_keys = keys.distinct().count()
+    assert out.filter("exact").count() >= n_keys
+    out.unpersist()
+
+
+def test_bloom_prefilter_false_positives_under_pressure(spark):
+    """A deliberately under-sized filter (tiny mbits) produces false
+    positives but still never a false negative — the CM-style safety
+    property under the worst sizing."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        bloom_prefilter,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    keys = docs.filter("doc_id % 3 = 0").select("text")
+    out = bloom_prefilter(docs, keys, mbits=64, k=4).cache()
+    assert out.filter("exact AND NOT bloom_pass").count() == 0
+    assert out.filter("false_positive").count() >= 1
+    out.unpersist()
+
+
+def test_bloom_prefilter_plan_is_narrow(spark):
+    """The membership test is a literal-bitmask narrow map: no hash
+    shuffle of the candidate side — the only Exchange is the
+    broadcast for the exact-audit semi join."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        bloom_prefilter,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    keys = docs.filter("doc_id % 10 = 0").select("text")
+    plan = _plan(bloom_prefilter(docs, keys, mbits=512, k=4))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -450,3 +450,30 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
     )
     assert spanning >= 1
     ev.unpersist()
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """The complete-mode register stream equals the batch HLL sketch
+    over everything ingested — including after a redelivered file
+    (max is redelivery-insensitive), and across two drains."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        hll_registers,
+    )
+    from super_speedy_syslog_searcher_spark.streaming import pipeline as sp2
+
+    in_dir = str(tmp_path / "hll_in")
+    t = transcripts_df(spark, SF_SMOKE).cache()
+    t.filter("turn_idx < 10").coalesce(1).write.mode("append").parquet(in_dir)
+    name = "t_stream_hll"
+    sp2.run_hll_to_memory(spark, in_dir, name, col="text")
+    # second drain: more data + a redelivered subset
+    t.filter("turn_idx >= 10").coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter("turn_idx % 3 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    sp2.run_hll_to_memory(spark, in_dir, name, col="text")
+
+    got = spark.table(name).select("bucket", "maxrho")
+    want = hll_registers(t.select("text"), "text")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    t.unpersist()

@@ -132,3 +132,73 @@ def test_asof_join_tables_plan_no_inequality_join(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_rate_anomalies_median_and_flag(spark):
+    """Planted hour counts: the sink median is the exact rank-
+    ceil(n/2) order statistic and only the >3x hour is flagged."""
+    import datetime as dtm
+
+    from super_speedy_syslog_searcher_spark.operators.stats import (
+        rate_anomalies,
+    )
+
+    base = dtm.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # sink 'a': hourly counts 2, 3, 4, 100 -> median (rank 2 of 4) = 3;
+    # 100*1000 > 3000*3 -> anomaly; 4 is not (4000 <= 9000).
+    for h, n in enumerate((2, 3, 4, 100)):
+        rows += [
+            ("a", base + dtm.timedelta(hours=h, minutes=i % 60))
+            for i in range(n)
+        ]
+    # sink 'b': counts 5, 5 -> median = 5, nothing flagged
+    for h, n in enumerate((5, 5)):
+        rows += [
+            ("b", base + dtm.timedelta(hours=h, minutes=i))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "sink_eff string, ts_eff timestamp")
+    out = rate_anomalies(df).cache()
+    got = {
+        (r["sink"], r["hour"].hour): (
+            r["n_rows"], r["median_rows"], r["is_anomaly"]
+        )
+        for r in out.collect()
+    }
+    assert got[("a", 0)] == (2, 3, False)
+    assert got[("a", 1)] == (3, 3, False)
+    assert got[("a", 2)] == (4, 3, False)
+    assert got[("a", 3)] == (100, 3, True)
+    assert got[("b", 0)] == (5, 5, False)
+    assert got[("b", 1)] == (5, 5, False)
+    out.unpersist()
+
+
+def test_zorder_aligned_quadrant_is_contiguous(spark):
+    """The z-order pruning guarantee: an aligned 2^s x 2^s rectangle
+    maps to exactly one contiguous zkey range — so a min/max zone map
+    on zkey prunes scans filtered on either dimension."""
+    from super_speedy_syslog_searcher_spark.operators.layout import (
+        zorder_key,
+    )
+
+    grid = spark.range(32 * 32).selectExpr(
+        "CAST(id % 32 AS LONG) AS x", "CAST(id DIV 32 AS LONG) AS y"
+    )
+    z = zorder_key(grid, "x", "y", bits=5, n_buckets=16).cache()
+    # every aligned 8x8 quadrant (s=3): zkeys form [z0, z0+64)
+    for x0 in (0, 8, 16, 24):
+        for y0 in (0, 8, 16, 24):
+            q = z.filter(
+                f"x >= {x0} AND x < {x0 + 8} AND y >= {y0} AND y < {y0 + 8}"
+            )
+            mn, mx, n = q.selectExpr(
+                "min(zkey)", "max(zkey)", "count(*)"
+            ).first()
+            assert n == 64
+            assert mx - mn == 63  # contiguous
+    # bijectivity over the grid
+    assert z.select("zkey").distinct().count() == 32 * 32
+    assert z.filter("zbucket < 0 OR zbucket >= 16").count() == 0
+    z.unpersist()

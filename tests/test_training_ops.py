@@ -1284,3 +1284,78 @@ def test_curriculum_bins_exact_sizes_on_distinct_scores(spark):
 
     sizes = Counter(r["bin"] for r in rows)
     assert sorted(sizes.values()) == [10] * 10
+
+
+def test_inverted_index_positions_cap_and_df(spark):
+    """Planted corpus: postings hold every (doc, pos) in order, df
+    counts distinct docs (not occurrences), and tokens past the df
+    cap keep df but elide postings."""
+    from super_speedy_syslog_searcher_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "beta gamma"),
+            (3, "beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in inverted_index(docs, df_cap=2).collect()}
+    assert out["alpha"]["df"] == 1
+    assert out["alpha"]["postings"] == "1:0,1:2"
+    assert out["gamma"]["postings"] == "2:1"
+    assert out["beta"]["df"] == 3  # above cap
+    assert out["beta"]["postings"] is None
+
+
+def test_corpus_diff_statuses(spark):
+    """Planted snapshot pair: every status class present and correct,
+    including a doc both changed-and-removed (removed wins — it is
+    absent from the new snapshot)."""
+    from super_speedy_syslog_searcher_spark.operators.transforms import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (5, "e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_json_props_stats_missing_and_invalid_keys(spark):
+    """Rows with missing or non-numeric k aggregate as NULL (counted
+    in n, excluded from with_k/sum)."""
+    from super_speedy_syslog_searcher_spark.operators.transforms import (
+        json_props_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 3}'),
+            ("click", '{"k": 7}'),
+            ("click", '{"other": 1}'),
+            ("view", '{"k": "nan"}'),
+            ("view", '{"k": 5}'),
+        ],
+        "event_type string, props string",
+    )
+    got = {r["event_type"]: r for r in json_props_stats(ev).collect()}
+    assert got["click"]["n"] == 3
+    assert got["click"]["with_k"] == 2
+    assert got["click"]["sum_k"] == 10
+    assert got["view"]["with_k"] == 1
+    assert got["view"]["sum_k"] == 5

@@ -26,7 +26,9 @@ def main() -> None:
     runs = {c: [] for c in levels}
     for rnd in range(3):
         for cpus in levels:
-            r = run_level(cpus, sf_dir, repl, only="parse_merge")
+            r = run_level(
+                cpus, sf_dir, repl, only="parse_merge", timeout=5400
+            )
             runs[cpus].append(r)
             print(
                 f"round {rnd} local[{cpus}]: "
