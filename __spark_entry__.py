@@ -1704,6 +1704,16 @@ def q_response_latency(spark, sf_dir):
     )
 
 
+def q_hourly_uniques(spark, sf_dir):
+    """Unique users per hour: exact count(DISTINCT) beside the
+    per-group HLL estimate (one sketch per hour, 2^8 registers each)
+    — the grouped-distinct shape where the sketch replaces the
+    row-wide distinct shuffle at 10^12 rows."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.hourly_uniques(ev, p=8)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot-diff CDC classification between two corpus versions
     derived identically in both engines: every 13th doc removed,
@@ -2073,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "streaming_hll": q_streaming_hll,
         "response_latency": q_response_latency,
+        "hourly_uniques": q_hourly_uniques,
         "length_quantiles": q_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "sessionize": q_sessionize,
@@ -2677,6 +2688,44 @@ def _hll_sql(src_rel: str, src_label: str, col: str) -> str:
         FROM (SELECT ({_hex13_sql(col)}) AS hv FROM {src_rel}) hh
         GROUP BY 1) rr ) aa ) ww ) ee)
 """
+
+
+def _hourly_uniques_sql() -> str:
+    """DuckDB twin of temporal.hourly_uniques (p=8): per-hour exact
+    distinct beside the per-group HLL integer estimate with the same
+    precomputed linear-counting literals."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        _alpha_ppm,
+        lc_table,
+    )
+
+    m, rb1 = 256, 45
+    alpha = _alpha_ppm(m)
+    lc = ", ".join(str(v) for v in lc_table(m))
+    big = m * m * (1 << rb1)
+    return f"""WITH hr AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id FROM events),
+h AS (SELECT hour, ({_hex13_sql("CAST(user_id AS VARCHAR)")}) AS hv FROM hr),
+r AS (SELECT hour, CAST(hv % {m} AS INT) AS bucket,
+        max(CASE WHEN hv // {m} = 0 THEN {rb1}
+            ELSE {rb1} - length(bin(hv // {m})) END) AS maxrho
+      FROM h GROUP BY 1, 2),
+a AS (SELECT hour, count(*) AS used,
+        CAST(sum(CAST(1 AS BIGINT) << ({rb1} - maxrho)) AS BIGINT)
+          + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rb1}) AS s_int
+      FROM r GROUP BY 1),
+w2 AS (SELECT hour, used, CAST({big} AS BIGINT) // s_int AS raw FROM a),
+e2 AS (SELECT hour, used,
+        (raw // 1000000) * {alpha}
+          + ((raw % 1000000) * {alpha}) // 1000000 AS est_raw
+       FROM w2),
+x AS (SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques
+      FROM hr GROUP BY 1)
+SELECT x.hour AS hour, exact_uniques,
+       CAST(CASE WHEN est_raw <= {5 * m // 2} AND used < {m}
+            THEN ([{lc}])[CAST({m} - used AS INT)]
+            ELSE est_raw END AS BIGINT) AS hll_uniques
+FROM x JOIN e2 ON x.hour = e2.hour"""
 
 
 _SESSIONIZE_SQL = """WITH g AS (
@@ -3539,6 +3588,7 @@ SELECT CAST(q_permille AS INT) AS q_permille,
        CAST(k AS BIGINT) AS k,
        CAST(min(CASE WHEN cum >= k THEN v END) AS BIGINT) AS value
 FROM r, cum GROUP BY q_permille, k""",
+        "hourly_uniques": _hourly_uniques_sql(),
         "corpus_diff": """WITH o AS (
   SELECT doc_id, md5(text) AS od FROM documents),
 nw AS (

@@ -624,3 +624,84 @@ def bloom_prefilter(
             ).alias("false_positive"),
         )
     )
+
+
+def hll_group_distinct(
+    df: DataFrame, group_col: str, col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL distinct estimate — hll_distinct generalized to
+    one sketch per group key, all in the same two map-side-combined
+    aggregates (groupBy(group, bucket) max, then groupBy(group)):
+    the GROUPED distinct-count shape (uniques per hour / per domain /
+    per shard) where exact count(DISTINCT) would shuffle every row
+    and the sketch shuffles at most 2^p rows per group.
+
+    Output: (group, n_buckets_used, s_int, est_raw, est_distinct) —
+    same integer-exact math and precomputed linear-counting literals
+    as hll_distinct."""
+    m = 1 << p
+    rb1 = 52 - p + 1
+    alpha = _alpha_ppm(m)
+    lc = lc_table(m)
+    h = _h13(F.col(col))
+    reg = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % m).cast("int").alias("bucket"),
+            F.floor(h / m).cast("bigint").alias("_rest"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("_rest") == 0, F.lit(rb1))
+            .otherwise(
+                F.lit(rb1) - F.length(F.conv(F.col("_rest"), 10, 2))
+            )
+            .cast("int"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    return (
+        reg.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("used"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {rb1} - maxrho)")
+            ).cast("bigint").alias("sp"),
+        )
+        .withColumn(
+            "s_int",
+            (
+                F.col("sp")
+                + (m - F.col("used")) * F.lit(1 << rb1).cast("bigint")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "raw",
+            F.expr(f"CAST({m * m * (1 << rb1)} AS BIGINT) DIV s_int"),
+        )
+        .withColumn(
+            "est_raw",
+            F.expr(
+                f"(raw DIV 1000000) * {alpha}"
+                f" + ((raw % 1000000) * {alpha}) DIV 1000000"
+            ).cast("bigint"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("used").cast("bigint").alias("n_buckets_used"),
+            "s_int",
+            "est_raw",
+            F.when(
+                (F.col("est_raw") <= F.lit(5 * m // 2))
+                & (F.col("used") < m),
+                F.element_at(
+                    F.array(*[F.lit(v).cast("bigint") for v in lc]),
+                    (m - F.col("used")).cast("int"),
+                ),
+            )
+            .otherwise(F.col("est_raw"))
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )

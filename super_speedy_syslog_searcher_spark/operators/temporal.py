@@ -162,3 +162,27 @@ def asof_attach(
             ).cast("bigint"),
         )
     )
+
+
+def hourly_uniques(events: DataFrame, p: int = 8) -> DataFrame:
+    """Unique users per hour, exact AND sketched side by side: the
+    grouped-distinct aggregate every telemetry pipeline runs, with
+    the per-group HLL estimate that replaces it at 10^12 rows
+    (count(DISTINCT) shuffles every row once per group; the sketch
+    caps each group's shuffle at 2^p register rows).  The exact
+    column doubles as the per-row accuracy audit."""
+    from .sketch import hll_group_distinct
+
+    hr = events.select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    exact = hr.groupBy("hour").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_uniques")
+    )
+    est = hll_group_distinct(hr, "hour", "user_id", p).select(
+        "hour", F.col("est_distinct").alias("hll_uniques")
+    )
+    return exact.join(est, "hour")

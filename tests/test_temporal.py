@@ -202,3 +202,35 @@ def test_zorder_aligned_quadrant_is_contiguous(spark):
     assert z.select("zkey").distinct().count() == 32 * 32
     assert z.filter("zbucket < 0 OR zbucket >= 16").count() == 0
     z.unpersist()
+
+
+def test_hourly_uniques_exact_vs_sketch(spark):
+    """Per-hour sketch estimates track the exact uniques (LC regime:
+    tens of users per hour vs 256 buckets), and a single-group sketch
+    equals the global hll_distinct on the same rows."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        hll_distinct,
+    )
+    from super_speedy_syslog_searcher_spark.operators.temporal import (
+        hourly_uniques,
+    )
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = hourly_uniques(ev).cache()
+    assert out.count() >= 1
+    bad = out.filter(
+        "abs(hll_uniques - exact_uniques) > greatest(4, exact_uniques / 4)"
+    ).count()
+    assert bad == 0  # LC-regime accuracy per group
+    # single-group consistency with the global sketch
+    hr = out.orderBy("hour").first()["hour"]
+    one = ev.filter(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")) == hr
+    ).select(F.col("user_id").cast("string").alias("v"))
+    g = hll_distinct(one, "v").first()["est_distinct"]
+    got = out.filter(F.col("hour") == hr).first()["hll_uniques"]
+    assert got == g
+    out.unpersist()
