@@ -22,7 +22,10 @@ from super_speedy_syslog_searcher_spark.datagen import transcripts_df
 from super_speedy_syslog_searcher_spark.operators import (
     bpe,
     cluster,
+    graph,
     lines,
+    pq,
+    rank,
     sft,
     dedup,
     multimodal,
@@ -1212,6 +1215,46 @@ def q_grpo_advantage(spark, sf_dir):
     return sft.grpo_advantage(_rollouts(spark, sf_dir))
 
 
+def _bt_scored(spark, sf_dir):
+    """Per-(prompt, player) reward-model scores over the rollout
+    corpus: player = the rollout variant tag ('base' / 'r1' / 'r2'
+    from the conv_id suffix), score = the deterministic 52-bit hash of
+    (prompt_key | player | rm1) standing in for a reward-model judge —
+    identical by construction in both engines."""
+    t = sft._conv_scores(_rollouts(spark, sf_dir))
+    player = F.when(
+        F.col("conv_id").contains("#"),
+        F.substring_index("conv_id", "#", -1),
+    ).otherwise(F.lit("base"))
+    scored = t.select("prompt_key", player.alias("player"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("prompt_key"),
+                    F.lit("|"),
+                    F.col("player"),
+                    F.lit("|rm1"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return scored.withColumn("score", h)
+
+
+def q_bt_ratings(spark, sf_dir):
+    """Bradley-Terry strength fitting over pairwise rollout outcomes
+    (fixed-point MM iterations, bit-identical to the DuckDB chained-
+    CTE replay): the rating step of RLHF preference-data curation."""
+    session.prep(spark)
+    out = rank.pairwise_outcomes(_bt_scored(spark, sf_dir))
+    return rank.bradley_terry(out, n_iter=6)
+
+
 def q_loss_mask_spans(spark, sf_dir):
     """SFT loss-mask char spans: [start, end) offsets of every
     assistant turn's text within the 'role: text\\n'-rendered
@@ -1810,6 +1853,35 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: fixed-point subspace k-means
+    codebooks (4 x 16), byte codes per vector, ADC top-10 for a
+    deterministic probe — with the true distance alongside so the
+    quantization error is auditable.  Bit-identical to the DuckDB
+    chained-CTE replay."""
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq.pq_topk(emb)
+
+
+def q_tool_pagerank(spark, sf_dir):
+    """Integer PageRank over the tool-transition graph of the
+    transcripts (which tool tends to follow which): fixed-point
+    iterations bit-identical to the DuckDB chained-CTE replay; the
+    rank table stays distributed through every iteration."""
+    edges = graph.tool_edges(_t(spark, sf_dir))
+    return graph.pagerank(edges, n_iter=3)
+
+
+def q_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the hash of
+    the SOURCE (group), not the doc, so near-duplicate pages of one
+    site can never straddle train and test.  Pure narrow map."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.group_split(docs, "source", "doc_id", seed="split1")
+
+
 # ------------------------------------------------ general OLAP (TPC-H-ish)
 
 def q_tpch_q1(spark, sf_dir):
@@ -2106,6 +2178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_of_n": q_best_of_n,
         "preference_pairs": q_preference_pairs,
         "grpo_advantage": q_grpo_advantage,
+        "bt_ratings": q_bt_ratings,
+        "tool_pagerank": q_tool_pagerank,
+        "group_split": q_group_split,
+        "pq_topk": q_pq_topk,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -2472,6 +2548,38 @@ SELECT prompt_key, conv_id, score,
        CAST(n AS BIGINT) AS n_rollouts,
        CAST((1000 * (n * score - s)) // n AS BIGINT) AS adv_permille
 FROM g""",
+        "bt_ratings": f"""{b},
+{_ROLLOUTS_CTE}
+{_CONV_SCORES_CTE}
+scp AS (
+  SELECT prompt_key,
+         CASE WHEN strpos(conv_id, '#') > 0
+              THEN substr(conv_id, strpos(conv_id, '#') + 1)
+              ELSE 'base' END AS player
+  FROM t),
+sc AS MATERIALIZED (
+  SELECT prompt_key, player,
+         {_hex13_sql("prompt_key || '|' || player || '|rm1'")} AS score
+  FROM scp),
+outc AS MATERIALIZED (
+  SELECT a.prompt_key,
+         CASE WHEN a.score > b2.score THEN a.player
+              ELSE b2.player END AS winner,
+         CASE WHEN a.score > b2.score THEN b2.player
+              ELSE a.player END AS loser
+  FROM sc a JOIN sc b2
+    ON a.prompt_key = b2.prompt_key AND a.player < b2.player
+  WHERE a.score <> b2.score),
+{rank.bt_oracle_cte("outc", n_iter=6)}""",
+        "tool_pagerank": f"""{b},
+te AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM exp WHERE tool <> 'none'),
+ed AS MATERIALIZED (
+  SELECT prev AS src, tool AS dst, CAST(count(*) AS BIGINT) AS weight
+  FROM te WHERE prev IS NOT NULL GROUP BY 1, 2),
+{graph.pagerank_oracle_cte("ed", n_iter=3)}""",
         "pack_sft": f"""{b},
 cl AS (
   SELECT conv_id,
@@ -3062,6 +3170,7 @@ GROUP BY doc_id""",
         # the rows-only check and tests/test_bpe.py pins equivalence
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
+        "pq_topk": pq.pq_oracle_sql(),
         "dsir_weights": """WITH toks AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
          t.tok AS tok
@@ -3655,6 +3764,12 @@ SELECT lang, CAST(count(*) AS BIGINT) AS rows,
        CAST(min(doc_id) AS BIGINT) AS min_doc,
        CAST(max(doc_id) AS BIGINT) AS max_doc
 FROM s GROUP BY lang""",
+        "group_split": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CASE ({_hex13_sql("source || '#split1'")}) % 10
+            WHEN 8 THEN 'val' WHEN 9 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -143,6 +143,38 @@ def stratified_sample(
     return df.filter(bucket < pct)
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "split1",
+    val_bucket: int = 8,
+    test_bucket: int = 9,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is decided by the
+    52-bit hash of the GROUP key (source/domain/url-host), not the row
+    id, so every document of a group lands in the same split — the
+    guard against train/test contamination through near-duplicate
+    pages of one site (test-pinned: |distinct (group, split)| ==
+    |distinct group|).  Buckets 0-7 → train, 8 → val, 9 → test
+    (80/10/10); changing `seed` re-deals groups, never rows.
+
+    Scale: a pure narrow map (hash + CASE), zero shuffle at any corpus
+    size; stratified_sample's shape with the group key swapped in.
+    Output: (id, group, split)."""
+    b = _h13(
+        F.concat(F.col(group_col).cast("string"), F.lit("#" + seed))
+    ) % 10
+    split = (
+        F.when(F.lit(val_bucket) == b, F.lit("val"))
+        .when(F.lit(test_bucket) == b, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.select(
+        F.col(id_col), F.col(group_col), split.alias("split")
+    )
+
+
 def int_quantiles(
     df: DataFrame, col: str, qs: tuple[int, ...] = (500, 900, 990)
 ) -> DataFrame:

@@ -1,0 +1,154 @@
+"""Product quantization: randomized equivalence vs a naive
+single-machine replay of the documented integer recipe, plus
+structural properties."""
+
+from __future__ import annotations
+
+import random
+
+from super_speedy_syslog_searcher_spark.operators import pq
+from super_speedy_syslog_searcher_spark.operators.cluster import (
+    KM_SCALE,
+    _trunc_div,
+)
+
+
+def _emb_df(spark, n, dim, seed):
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)], 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _naive_pq_topk(rows, m, k, n_iter, topk):
+    """Pure-Python replay of pq_topk's documented integer recipe."""
+    import math
+
+    q = {
+        i: [int(math.floor(float(x) * KM_SCALE + 0.5)) for x in v]
+        for i, v, _ in rows
+    }
+    dim = len(next(iter(q.values())))
+    sub = dim // m
+    ids = sorted(q)
+    cbs = [
+        [list(q[i][s * sub : (s + 1) * sub]) for i in ids[:k]]
+        for s in range(m)
+    ]
+
+    def assign(s):
+        out = {}
+        for i in ids:
+            v = q[i][s * sub : (s + 1) * sub]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in enumerate(cbs[s])
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(n_iter):
+        new = [[list(c) for c in cb] for cb in cbs]
+        for s in range(m):
+            a = assign(s)
+            for cid in range(k):
+                members = [i for i in ids if a[i] == cid]
+                if not members:
+                    continue
+                for j in range(sub):
+                    tot = sum(q[i][s * sub + j] for i in members)
+                    new[s][cid][j] = _trunc_div(tot, len(members))
+        cbs = new
+    codes = {i: [assign(s)[i] for s in range(m)] for i in ids}
+    # rebuild per-subspace assignment once (assign() above re-runs
+    # per call; recompute coherently)
+    codes = {}
+    per_s = [assign(s) for s in range(m)]
+    for i in ids:
+        codes[i] = [per_s[s][i] for s in range(m)]
+    probe = q[ids[0]]
+    luts = [
+        [
+            sum(
+                (probe[s * sub + j] - c[j]) ** 2 for j in range(sub)
+            )
+            for c in cbs[s]
+        ]
+        for s in range(m)
+    ]
+    out = []
+    for i in ids:
+        est = sum(luts[s][codes[i][s]] for s in range(m))
+        true = sum((a - b) ** 2 for a, b in zip(q[i], probe))
+        out.append((est, i, tuple(codes[i]), true))
+    out.sort()
+    return [
+        (i, c, est, true) for est, i, c, true in out[:topk]
+    ]
+
+
+def test_pq_matches_naive_replay(spark):
+    df = _emb_df(spark, 40, 8, seed=7)
+    got = [
+        (
+            r["vec_id"],
+            (r["code_0"], r["code_1"]),
+            r["est_dist_sq"],
+            r["true_dist_sq"],
+        )
+        for r in pq.pq_topk(df, m=2, k=4, n_iter=2, topk=6)
+        .orderBy("est_dist_sq", "vec_id")
+        .collect()
+    ]
+    rows = [(r["vec_id"], r["embedding"], 0) for r in df.collect()]
+    want = _naive_pq_topk(rows, m=2, k=4, n_iter=2, topk=6)
+    assert got == want
+
+
+def test_pq_codes_bounded_and_probe_true_zero(spark):
+    df = _emb_df(spark, 60, 16, seed=11)
+    out = pq.pq_topk(df, m=4, k=8, n_iter=2, topk=60).collect()
+    assert len(out) == 60
+    for r in out:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 8
+        assert r["est_dist_sq"] >= 0
+    # the probe (min vec_id) has true distance 0 to itself
+    probe_row = [r for r in out if r["vec_id"] == 0][0]
+    assert probe_row["true_dist_sq"] == 0
+
+
+def test_pq_recall_vs_exact_reasonable(spark):
+    # clustered corpus (8 centers, small noise): PQ at 4x16 should put
+    # most of the exact top-10 in the ADC top-20 (uniform random
+    # high-dim vectors are near-equidistant — no ANN recalls those)
+    rng = random.Random(3)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)
+    ]
+    rows = [
+        (
+            i,
+            [
+                round(c + rng.uniform(-0.1, 0.1), 4)
+                for c in centers[i % 8]
+            ],
+            0,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    adc = pq.pq_topk(df, topk=20).collect()
+    adc_ids = {r["vec_id"] for r in adc}
+    exact = sorted(
+        ((r["true_dist_sq"], r["vec_id"]) for r in
+         pq.pq_topk(df, topk=200).collect())
+    )[:10]
+    hit = sum(1 for _, i in exact if i in adc_ids)
+    assert hit >= 5

@@ -1,0 +1,195 @@
+"""Bradley-Terry rating, PageRank, and group_split: planted-fixture
+semantics beyond the driver-oracle hash equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.operators import graph, rank, sketch
+
+# ------------------------------------------------------------- BT
+
+
+def _outcomes(spark, rows):
+    """rows: (winner, loser) repeated per game."""
+    return spark.createDataFrame(
+        [(w, l, "g") for w, l in rows], "winner string, loser string, g string"
+    ).drop("g")
+
+
+def test_bt_dominant_player_rates_highest(spark):
+    # A beats B 3x, B beats C 3x, A beats C 3x: strict order A > B > C
+    rows = [("A", "B")] * 3 + [("B", "C")] * 3 + [("A", "C")] * 3
+    r = {
+        x["player"]: x
+        for x in rank.bradley_terry(_outcomes(spark, rows)).collect()
+    }
+    assert r["A"]["rating"] > r["B"]["rating"] > r["C"]["rating"]
+    assert r["A"]["n_wins"] == 6 and r["C"]["n_wins"] == 0
+    assert r["A"]["n_games"] == 6 and r["B"]["n_games"] == 6
+
+
+def test_bt_symmetric_players_rate_equal(spark):
+    # A and B split 4 games 2-2: identical fixed-point ratings
+    rows = [("A", "B"), ("A", "B"), ("B", "A"), ("B", "A")]
+    r = {
+        x["player"]: x["rating"]
+        for x in rank.bradley_terry(_outcomes(spark, rows)).collect()
+    }
+    assert r["A"] == r["B"]
+
+
+def test_bt_deterministic_across_runs(spark):
+    rows = [("A", "B")] * 5 + [("B", "A")] * 2 + [("B", "C")] * 4 + [
+        ("C", "A")
+    ] * 1
+    df = _outcomes(spark, rows)
+    a = sorted(map(tuple, rank.bradley_terry(df).collect()))
+    b = sorted(map(tuple, rank.bradley_terry(df).collect()))
+    assert a == b
+
+
+def test_pairwise_outcomes_direction_and_bounds(spark):
+    scored = spark.createDataFrame(
+        [
+            ("p1", "base", 10),
+            ("p1", "r1", 30),
+            ("p1", "r2", 20),
+            ("p2", "base", 7),  # singleton group: no pairs
+            ("p3", "base", 5),
+            ("p3", "r1", 5),  # tie: dropped
+        ],
+        "prompt_key string, player string, score long",
+    )
+    got = {
+        (r["prompt_key"], r["winner"], r["loser"])
+        for r in rank.pairwise_outcomes(scored).collect()
+    }
+    assert got == {
+        ("p1", "r1", "base"),
+        ("p1", "r2", "base"),
+        ("p1", "r1", "r2"),
+    }
+
+
+# -------------------------------------------------------- PageRank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src string, dst string, weight long"
+    )
+
+
+def test_pagerank_matches_naive_integer_replay(spark):
+    rows = [
+        ("a", "b", 2),
+        ("a", "c", 1),
+        ("b", "c", 1),
+        ("c", "a", 1),
+        ("d", "a", 3),  # d is a source-only node (gets teleport only)
+    ]
+    got = {
+        r["node"]: (r["out_weight"], r["pr"])
+        for r in graph.pagerank(_edges(spark, rows), n_iter=3).collect()
+    }
+
+    # naive single-machine replay of the documented integer recipe
+    S, D = graph.PR_SCALE, graph.PR_DAMP_PM
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    outw = {}
+    for s, _, w in rows:
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    base = S // n
+    tele = ((1000 - D) * base) // 1000
+    pr = {v: base for v in nodes}
+    for _ in range(3):
+        c = {v: 0 for v in nodes}
+        for s, d, w in rows:
+            c[d] += (pr[s] * w) // outw[s]
+        pr = {v: tele + (D * c[v]) // 1000 for v in nodes}
+    want = {v: (outw.get(v, 0), pr[v]) for v in nodes}
+    assert got == want
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # everything points at z; z dangles
+    rows = [("a", "z", 1), ("b", "z", 1), ("c", "z", 1), ("a", "b", 1)]
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(_edges(spark, rows), n_iter=3).collect()
+    }
+    assert got["z"] == max(got.values())
+
+
+def test_tool_edges_skips_none_and_counts(spark):
+    rows = [
+        ("c1", 0, "user", "t", "none"),
+        ("c1", 1, "assistant", "t", "bash"),
+        ("c1", 2, "user", "t", "none"),
+        ("c1", 3, "assistant", "t", "search"),  # bash -> search
+        ("c1", 4, "assistant", "t", "search"),  # search -> search
+        ("c2", 5, "assistant", "t", "bash"),  # fresh conv: no edge yet
+        ("c2", 6, "assistant", "t", "search"),  # bash -> search
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, None) for c, i, r, t, tool in rows],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in graph.tool_edges(df).collect()
+    }
+    assert got == {("bash", "search"): 2, ("search", "search"): 1}
+
+
+# ------------------------------------------------------ group_split
+
+
+def test_group_split_never_leaks_groups(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = sketch.group_split(docs, "source", "doc_id")
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    # all three splits reachable given enough groups
+    many = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(300)], "doc_id long, source string"
+    )
+    splits = {
+        r["split"]
+        for r in sketch.group_split(many, "source", "doc_id")
+        .select("split")
+        .distinct()
+        .collect()
+    }
+    assert splits == {"train", "val", "test"}
+
+
+def test_group_split_seed_redeals_groups_not_rows(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 40}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    a = {
+        (r["doc_id"], r["split"])
+        for r in sketch.group_split(docs, seed="split1").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in sketch.group_split(docs, seed="split2").collect()
+    }
+    assert a != b  # the deal moved
+    # within either seed, rows of one source still agree
+    for s in (a, b):
+        by_doc = dict(s)
+        for i in range(400):
+            assert by_doc[i] == by_doc[i % 40]
