@@ -1853,6 +1853,25 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Retention-cohort matrix over the events stream: users bucketed
+    by first-event date, counted per later active-day offset — two
+    map-side aggs + one user-keyed join, no count(DISTINCT) re-shuffle."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.retention_cohorts(ev)
+
+
+def q_funnel(spark, sf_dir):
+    """Strict sequential funnel signup → view → click → purchase:
+    first qualifying event per step, each step strictly after the
+    previous one's timestamp; k user-keyed agg+join rounds, no
+    per-user array collection."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.funnel_conversion(ev)
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN: fixed-point subspace k-means
     codebooks (4 x 16), byte codes per vector, ADC top-10 for a
@@ -2182,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_pagerank": q_tool_pagerank,
         "group_split": q_group_split,
         "pq_topk": q_pq_topk,
+        "retention": q_retention,
+        "funnel": q_funnel,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -3171,6 +3192,31 @@ GROUP BY doc_id""",
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
         "pq_topk": pq.pq_oracle_sql(),
+        "retention": """WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+ch AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1)
+SELECT strftime(ch.c, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', ch.c, ud.d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN ch USING (user_id) GROUP BY 1, 2""",
+        "funnel": """WITH f0 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+f1 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f0 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > f0.t GROUP BY 1),
+f2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > f1.t GROUP BY 1),
+f3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY 1)
+SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+       CAST(count(*) AS BIGINT) AS n_users FROM f0
+UNION ALL SELECT CAST(1 AS INT), 'view', CAST(count(*) AS BIGINT) FROM f1
+UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM f2
+UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT)
+FROM f3""",
         "dsir_weights": """WITH toks AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
          t.tok AS tok

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 GAP_MINUTES = 120  # idle gap that opens a new session
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
 def sessionize(
@@ -186,3 +187,74 @@ def hourly_uniques(events: DataFrame, p: int = 8) -> DataFrame:
         "hour", F.col("est_distinct").alias("hll_uniques")
     )
     return exact.join(est, "hour")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Retention-cohort matrix: users grouped by the DATE of their
+    first event (the cohort), counted on every later active day as a
+    day offset — the telemetry aggregate behind every retention
+    curve.  Output (cohort_day, day_offset, n_users); cohort_day is a
+    'yyyy-MM-dd' string so both engines hash identically.
+
+    Scale shape: (user, day) activity dedups in one map-side-combined
+    groupBy; the cohort day is one user-keyed aggregate joined back on
+    the user key (same partitioning, AQE-broadcastable when the user
+    table is small); the final cell count is an aggregate over the
+    already-distinct (user, day) pairs — count(*), never a
+    count(DISTINCT) re-shuffle.  No window, no self-join."""
+    ud = (
+        events.select(
+            "user_id", F.to_date("ts").alias("_d")
+        ).distinct()
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("_d").alias("_c"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("_c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("_d", "_c").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Strict sequential funnel: a user reaches step i when they have
+    an event of type steps[i] STRICTLY AFTER the timestamp at which
+    they reached step i-1 (first qualifying event each time — the
+    classic ordered-funnel semantics, not mere set membership).
+    Output one row per step: (step_idx, step, n_users).
+
+    Scale shape: k rounds of (filter -> user-keyed min aggregate ->
+    user-keyed join), each a map-side-combined agg plus one
+    same-key-partitioned join — no window over the event stream, no
+    per-user array collection (per-user event lists are unbounded at
+    10^12 rows; these aggregates aren't)."""
+    cur = None
+    outs = []
+    for i, s in enumerate(steps):
+        e = events.filter(F.col("event_type") == s).select(
+            "user_id", "ts"
+        )
+        if cur is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        else:
+            cur = (
+                e.join(cur, "user_id")
+                .filter(F.col("ts") > F.col("_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("_t"))
+            )
+        outs.append(
+            cur.agg(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

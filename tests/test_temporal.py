@@ -234,3 +234,76 @@ def test_hourly_uniques_exact_vs_sketch(spark):
     got = out.filter(F.col("hour") == hr).first()["hll_uniques"]
     assert got == g
     out.unpersist()
+
+
+def _d(days, minutes=0):
+    return BASE + dt.timedelta(days=days, minutes=minutes)
+
+
+def test_funnel_strictly_ordered(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, _m(0), "signup", 0.0),
+        (2, 1, _m(1), "view", 0.0),
+        (3, 1, _m(2), "click", 0.0),
+        (4, 1, _m(3), "purchase", 0.0),
+        # u2: view BEFORE signup only → stops at signup
+        (5, 2, _m(0), "view", 0.0),
+        (6, 2, _m(1), "signup", 0.0),
+        # u3: signup, view, purchase (no click) → stops at view
+        (7, 3, _m(0), "signup", 0.0),
+        (8, 3, _m(1), "view", 0.0),
+        (9, 3, _m(2), "purchase", 0.0),
+        # u4: click at the SAME instant as view → strict > excludes it
+        (10, 4, _m(0), "signup", 0.0),
+        (11, 4, _m(1), "view", 0.0),
+        (12, 4, _m(1), "click", 0.0),
+    ]
+    got = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in temporal.funnel_conversion(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        (0, "signup"): 4,
+        (1, "view"): 3,
+        (2, "click"): 1,
+        (3, "purchase"): 1,
+    }
+
+
+def test_funnel_retry_after_reset_counts(spark):
+    # u5 views pre-signup AND again post-signup: the later view counts
+    rows = [
+        (1, 5, _m(0), "view", 0.0),
+        (2, 5, _m(1), "signup", 0.0),
+        (3, 5, _m(2), "view", 0.0),
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in temporal.funnel_conversion(_ev(spark, rows)).collect()
+    }
+    assert got["signup"] == 1 and got["view"] == 1
+
+
+def test_retention_cohorts_counts_and_dedup(spark):
+    rows = [
+        # u1: cohort day0, active day0 (twice — dedups) and day2
+        (1, 1, _d(0), "view", 0.0),
+        (2, 1, _d(0, 30), "click", 0.0),
+        (3, 1, _d(2), "view", 0.0),
+        # u2: cohort day0, active day0 only
+        (4, 2, _d(0), "view", 0.0),
+        # u3: cohort day1, active day1 + day2 (offset 1)
+        (5, 3, _d(1), "view", 0.0),
+        (6, 3, _d(2), "view", 0.0),
+    ]
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in temporal.retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
