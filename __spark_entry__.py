@@ -1853,6 +1853,33 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_repeat_collapse(spark, sf_dir):
+    """Syslog duplicate suppression: consecutive identical lines per
+    conversation collapse to (first_turn, last_turn, n_repeats) —
+    runs planted deterministically (system turns of every third conv
+    tripled) identically in both engines."""
+    t = _t(spark, sf_dir)
+    cnum = F.substring("conv_id", 6, 10).cast("int")
+    reps = F.when(
+        ((cnum % 3) == 0) & (F.col("role") == "system"),
+        F.expr("array(0, 1, 2)"),
+    ).otherwise(F.expr("array(0)"))
+    aug = t.withColumn("_r", F.explode(reps)).select(
+        "conv_id",
+        (F.col("turn_idx") * 4 + F.col("_r")).cast("int").alias(
+            "turn_idx"
+        ),
+        "text",
+    )
+    return stats.repeat_collapse(aug)
+
+
+def q_log_templates(spark, sf_dir):
+    """Log-template mining: digit runs masked to '<n>', templates
+    tallied, top-50 via TakeOrdered with deterministic tie-breaks."""
+    return stats.log_templates(_t(spark, sf_dir), topn=50)
+
+
 def q_retention(spark, sf_dir):
     """Retention-cohort matrix over the events stream: users bucketed
     by first-event date, counted per later active-day offset — two
@@ -2203,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "retention": q_retention,
         "funnel": q_funnel,
+        "repeat_collapse": q_repeat_collapse,
+        "log_templates": q_log_templates,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -3192,6 +3221,32 @@ GROUP BY doc_id""",
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
         "pq_topk": pq.pq_oracle_sql(),
+        "repeat_collapse": f"""{b},
+aug AS (
+  SELECT conv_id, CAST(turn_idx * 4 + r AS INT) AS turn_idx, text
+  FROM exp CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) u
+  WHERE (CAST(substr(conv_id, 6) AS INT) % 3 = 0 AND role = 'system')
+     OR r = 0),
+rn AS (
+  SELECT conv_id, turn_idx, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+       - row_number() OVER (PARTITION BY conv_id, text
+                            ORDER BY turn_idx) AS g
+  FROM aug)
+SELECT conv_id, CAST(min(turn_idx) AS INT) AS first_turn,
+       CAST(max(turn_idx) AS INT) AS last_turn,
+       CAST(count(*) AS BIGINT) AS n_repeats, text
+FROM rn GROUP BY conv_id, text, g""",
+        "log_templates": f"""{b},
+tpl AS (
+  SELECT regexp_replace(text, '[0-9]+', '<n>', 'g') AS template, text
+  FROM exp),
+ag AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+         min(text) AS example
+  FROM tpl GROUP BY 1)
+SELECT template, n_lines, example FROM ag
+ORDER BY n_lines DESC, template LIMIT 50""",
         "retention": """WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
 ch AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1)

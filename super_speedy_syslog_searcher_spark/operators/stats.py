@@ -177,3 +177,60 @@ def rate_anomalies(
             > F.lit(thresh_permille) * F.col("median_rows")
         ).alias("is_anomaly"),
     )
+
+
+def repeat_collapse(turns: DataFrame) -> DataFrame:
+    """Syslog "last message repeated N times" collapse: consecutive
+    runs of IDENTICAL text within a conversation fold into one row
+    with the run's first/last turn and repeat count — classic
+    rsyslog/syslogd duplicate suppression (the reference prints such
+    lines verbatim; a pipeline ingesting them wants them collapsed).
+
+    Gaps-and-islands in two same-partitioned windows: island key =
+    rn_overall − rn_per_text (both windows share the conv_id
+    Exchange), then one map-side-combined groupBy per island — no
+    self-join, holds at 10^12 turns.
+
+    Output: (conv_id, first_turn, last_turn, n_repeats, text)."""
+    wo = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wt = Window.partitionBy("conv_id", "text").orderBy("turn_idx")
+    t = turns.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        (F.row_number().over(wo) - F.row_number().over(wt)).alias("_g"),
+    )
+    return t.groupBy("conv_id", "text", "_g").agg(
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        F.count("*").cast("bigint").alias("n_repeats"),
+    ).select("conv_id", "first_turn", "last_turn", "n_repeats", "text")
+
+
+def log_templates(turns: DataFrame, topn: int = 50) -> DataFrame:
+    """Log-template mining (Drain-lite): mask every digit run in the
+    line to '<n>' and tally the resulting templates — the
+    template-extraction step of log-analytics pipelines (error
+    clustering, novelty detection), which s4's fixed DTPD bank does
+    for timestamps only, generalized here to the whole line.
+
+    One narrow regexp projection + one map-side-combined groupBy on
+    the template; the top-n is a TakeOrderedAndProject (per-partition
+    heaps), never a global sort.  Output: (template, n_lines,
+    example) with deterministic ordering/tie-breaks (n_lines desc,
+    template asc; example = lexicographic min of the raw lines)."""
+    t = turns.select(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<n>").alias(
+            "template"
+        ),
+        "text",
+    )
+    return (
+        t.groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("text").alias("example"),
+        )
+        .orderBy(F.col("n_lines").desc(), "template")
+        .limit(topn)
+    )

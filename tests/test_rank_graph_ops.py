@@ -193,3 +193,56 @@ def test_group_split_seed_redeals_groups_not_rows(spark):
         by_doc = dict(s)
         for i in range(400):
             assert by_doc[i] == by_doc[i % 40]
+
+
+# --------------------------------------------- syslog-style collapse
+
+
+def test_repeat_collapse_islands(spark):
+    from super_speedy_syslog_searcher_spark.operators import stats
+
+    rows = [
+        ("c", 0, "boot ok"),
+        ("c", 1, "disk full"),
+        ("c", 2, "disk full"),
+        ("c", 3, "disk full"),
+        ("c", 4, "boot ok"),  # same text, NON-adjacent: own island
+        ("d", 5, "disk full"),  # other conv: own island
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    got = {
+        (r["conv_id"], r["first_turn"], r["last_turn"], r["n_repeats"],
+         r["text"])
+        for r in stats.repeat_collapse(df).collect()
+    }
+    assert got == {
+        ("c", 0, 0, 1, "boot ok"),
+        ("c", 1, 3, 3, "disk full"),
+        ("c", 4, 4, 1, "boot ok"),
+        ("d", 5, 5, 1, "disk full"),
+    }
+
+
+def test_log_templates_masks_digits_and_ranks(spark):
+    from super_speedy_syslog_searcher_spark.operators import stats
+
+    rows = [
+        ("c", 0, "pid 101 exited"),
+        ("c", 1, "pid 7 exited"),
+        ("c", 2, "pid 993 exited"),
+        ("c", 3, "link up"),
+        ("c", 4, "link up"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    got = [
+        (r["template"], r["n_lines"], r["example"])
+        for r in stats.log_templates(df, topn=2).collect()
+    ]
+    assert got == [
+        ("pid <n> exited", 3, "pid 101 exited"),
+        ("link up", 2, "link up"),
+    ]
