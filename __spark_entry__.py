@@ -1853,6 +1853,22 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based (alpha = 1/2) mixture sampling: each source
+    contributes budget * sqrt(n_s)/sum sqrt docs, picked in
+    deterministic hash order; isqrt is exact integer in both engines."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.temperature_mix(docs, budget=200)
+
+
+def q_rollout_diversity(spark, sf_dir):
+    """Distinct-bigram diversity per shared-prompt rollout group —
+    the mode-collapse metric of best-of-n sampling, integer permille."""
+    session.prep(spark)
+    return sft.rollout_diversity(_rollouts(spark, sf_dir))
+
+
 def q_repeat_collapse(spark, sf_dir):
     """Syslog duplicate suppression: consecutive identical lines per
     conversation collapse to (first_turn, last_turn, n_repeats) —
@@ -2232,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "repeat_collapse": q_repeat_collapse,
         "log_templates": q_log_templates,
+        "temperature_mix": q_temperature_mix,
+        "rollout_diversity": q_rollout_diversity,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -3221,6 +3239,50 @@ GROUP BY doc_id""",
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
         "pq_topk": pq.pq_oracle_sql(),
+        "temperature_mix": f"""WITH cnt AS MATERIALIZED (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+sq AS MATERIALIZED (
+  SELECT k, (SELECT max(i) FROM generate_series(0, 10000) t(i)
+             WHERE i * i <= cnt.n) AS s
+  FROM cnt),
+tgt AS MATERIALIZED (
+  SELECT k, (200 * s) // (SELECT sum(s) FROM sq) AS target FROM sq),
+rk AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_hex13_sql(
+               "CAST(doc_id AS VARCHAR) || '#' || source || '#temp1'"
+           )}, doc_id) AS BIGINT) AS pick_rank
+  FROM documents)
+SELECT CAST(rk.doc_id AS BIGINT) AS doc_id, rk.source AS source,
+       pick_rank
+FROM rk JOIN tgt ON tgt.k = rk.source
+WHERE pick_rank <= tgt.target""",
+        "rollout_diversity": f"""{b},
+{_ROLLOUTS_CTE}
+pk AS MATERIALIZED (
+  SELECT conv_id, md5(min_by(text, turn_idx)) AS prompt_key
+  FROM r GROUP BY 1),
+nr AS (SELECT prompt_key, CAST(count(*) AS BIGINT) AS n_rollouts
+       FROM pk GROUP BY 1),
+aw AS (
+  SELECT pk.prompt_key, string_split(t.text, ' ') AS ws
+  FROM r t JOIN pk USING (conv_id) WHERE t.role = 'assistant'),
+bgx AS (
+  SELECT prompt_key, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+  FROM aw WHERE len(ws) >= 2),
+bgr AS (SELECT prompt_key, ws[i] || ' ' || ws[i + 1] AS bg FROM bgx),
+st AS (
+  SELECT prompt_key, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct
+  FROM bgr GROUP BY 1)
+SELECT st.prompt_key AS prompt_key, nr.n_rollouts, st.n_bigrams,
+       st.n_distinct,
+       CAST((1000 * n_distinct) // n_bigrams AS BIGINT)
+         AS distinct_permille
+FROM st JOIN nr USING (prompt_key)""",
         "repeat_collapse": f"""{b},
 aug AS (
   SELECT conv_id, CAST(turn_idx * 4 + r AS INT) AS turn_idx, text

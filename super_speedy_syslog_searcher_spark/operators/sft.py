@@ -525,3 +525,57 @@ def response_latency(turns: DataFrame) -> DataFrame:
         )
     )
     return int_quantiles(pairs, "latency_s")
+
+
+def rollout_diversity(turns: DataFrame) -> DataFrame:
+    """Distinct-n diversity of rollout groups — the mode-collapse
+    metric of RL / best-of-n sampling: per shared-prompt group, the
+    fraction of assistant bigrams that are distinct across all
+    rollouts (1000 = every bigram unique; low values = rollouts
+    parroting each other).  Output (prompt_key, n_rollouts,
+    n_bigrams, n_distinct, distinct_permille) for groups with at
+    least one assistant bigram; the ratio is integer permille
+    (truncating division) so both engines agree exactly.
+
+    Shape: one conv-keyed aggregate (prompt keys), joined back on the
+    conv key; bigrams explode from a zip_with over the token array
+    (bounded per turn); the distinct count shuffles on prompt_key —
+    group-bounded (rollout groups are fan-out-sized, never
+    corpus-sized)."""
+    pk = turns.groupBy("conv_id").agg(
+        F.md5(F.expr("min_by(text, turn_idx)")).alias("prompt_key")
+    )
+    nr = pk.groupBy("prompt_key").agg(
+        F.count("*").cast("bigint").alias("n_rollouts")
+    )
+    bg = (
+        turns.filter(F.col("role") == "assistant")
+        .join(pk, "conv_id")
+        .select(
+            "prompt_key", F.split(F.col("text"), " ").alias("ws")
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            "prompt_key",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bg"),
+        )
+    )
+    st = bg.groupBy("prompt_key").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.countDistinct("bg").cast("bigint").alias("n_distinct"),
+    )
+    return st.join(nr, "prompt_key").select(
+        "prompt_key",
+        "n_rollouts",
+        "n_bigrams",
+        "n_distinct",
+        F.expr("(1000 * n_distinct) DIV n_bigrams")
+        .cast("bigint")
+        .alias("distinct_permille"),
+    )

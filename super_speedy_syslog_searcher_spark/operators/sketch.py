@@ -737,3 +737,77 @@ def hll_group_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha_half: bool = True,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    seed: str = "temp1",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the third canonical mixing
+    scheme beside mixture_sample's rates and token_budget_sample's
+    quotas): source s contributes target_s = budget * n_s^alpha /
+    sum_t n_t^alpha documents — alpha = 1/2 here, flattening the
+    source distribution the way multilingual/multi-domain pretraining
+    mixes do (alpha=1 is proportional, alpha=0 uniform).
+
+    Everything integer-exact so both engines agree bit-for-bit:
+    n_s^(1/2) is math.isqrt (the DuckDB oracle computes the same
+    floor-sqrt as max i with i*i <= n — no float pow), target_s =
+    (budget * isqrt(n_s)) DIV tot, and the kept set is the first
+    target_s docs of each source in deterministic 52-bit-hash order
+    (id tiebreak).
+
+    Output: (id, key, pick_rank) for kept docs.
+
+    Scale shape: the per-source count is one map-side-combined
+    groupBy whose result is SOURCE-cardinality-sized (collected, like
+    curriculum_bins' thresholds, and re-emitted as a literal CASE);
+    ranking is one window per source partition — at 10^12 docs use
+    the merge.py two-level per-partition-offset recipe over the same
+    (source, hash, id) order, output identical."""
+    import math
+
+    from pyspark.sql import Window
+
+    counts = {
+        r["k"]: int(r["n"])
+        for r in df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not alpha_half:
+        raise NotImplementedError("only alpha=1/2 is wired")
+    sq = {k: math.isqrt(n) for k, n in counts.items()}
+    tot = sum(sq.values())
+    target = {k: (budget * s) // tot for k, s in sq.items()}
+    tgt = None
+    for k, t in sorted(target.items()):
+        cond = F.when(F.col(key_col) == k, F.lit(t))
+        tgt = cond if tgt is None else tgt.when(
+            F.col(key_col) == k, F.lit(t)
+        )
+    tgt = F.lit(0) if tgt is None else tgt.otherwise(F.lit(0))
+    h = _h13(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col(key_col),
+            F.lit("#" + seed),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("_h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(key_col),
+            h.alias("_h"),
+            tgt.cast("bigint").alias("_tgt"),
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= F.col("_tgt"))
+        .select(id_col, key_col, "pick_rank")
+    )

@@ -246,3 +246,63 @@ def test_log_templates_masks_digits_and_ranks(spark):
         ("pid <n> exited", 3, "pid 101 exited"),
         ("link up", 2, "link up"),
     ]
+
+
+# -------------------------------------- temperature mix + diversity
+
+
+def test_temperature_mix_targets_and_flattening(spark):
+    import math
+
+    # source skew 400 vs 25: alpha=1/2 flattens 16:1 to 4:1
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(425)],
+        "doc_id long, source string",
+    )
+    out = sketch.temperature_mix(docs, budget=100).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    sq = {"big": math.isqrt(400), "small": math.isqrt(25)}
+    tot = sum(sq.values())
+    assert per["big"] == (100 * sq["big"]) // tot
+    assert per["small"] == (100 * sq["small"]) // tot
+    # flattened: big/small kept ratio is 4:1, not 16:1
+    assert per["big"] == 4 * per["small"]
+    # ranks are 1..target per source
+    ranks = sorted(
+        r["pick_rank"] for r in out if r["source"] == "small"
+    )
+    assert ranks == list(range(1, per["small"] + 1))
+
+
+def test_rollout_diversity_collapse_vs_distinct(spark):
+    from super_speedy_syslog_searcher_spark.operators import sft as s
+
+    rows = [
+        # group 1: two rollouts with IDENTICAL assistant text
+        ("a", 0, "user", "p one"),
+        ("a", 1, "assistant", "x y z"),
+        ("b", 0, "user", "p one"),
+        ("b", 1, "assistant", "x y z"),
+        # group 2: two rollouts, fully distinct bigrams
+        ("c", 0, "user", "p two"),
+        ("c", 1, "assistant", "q r s"),
+        ("d", 0, "user", "p two"),
+        ("d", 1, "assistant", "t u v"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, "none", None) for c, i, r, t in rows],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    vals = sorted(
+        (
+            r["n_rollouts"],
+            r["n_bigrams"],
+            r["n_distinct"],
+            r["distinct_permille"],
+        )
+        for r in s.rollout_diversity(df).collect()
+    )
+    assert vals == [(2, 4, 2, 500), (2, 4, 4, 1000)]
