@@ -306,3 +306,44 @@ def test_rollout_diversity_collapse_vs_distinct(spark):
         for r in s.rollout_diversity(df).collect()
     )
     assert vals == [(2, 4, 2, 500), (2, 4, 4, 1000)]
+
+
+# ------------------------------------------------------- plan shapes
+
+
+def test_group_split_plan_is_narrow(spark):
+    """Pure narrow map: no Exchange, no Join in the split plan."""
+    from super_speedy_syslog_searcher_spark import plans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plans.explain_str(sketch.group_split(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pagerank_plan_no_cartesian_per_iteration(spark):
+    """Every iteration is an equi-join + partial agg: no cartesian,
+    no nested-loop join anywhere in the 3-iteration plan."""
+    from super_speedy_syslog_searcher_spark import plans
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2)], "src string, dst string, weight long"
+    )
+    plan = plans.explain_str(graph.pagerank(edges, n_iter=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_topk_plan_takeordered_no_global_sort(spark):
+    """The ADC top-k must be a TakeOrderedAndProject (per-partition
+    heaps), and the scan side must not join anything non-broadcast:
+    codes and est are literal lookups."""
+    from super_speedy_syslog_searcher_spark import plans
+    from super_speedy_syslog_searcher_spark.operators import pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = pq.pq_topk(emb, topk=5)
+    plan = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
