@@ -1926,6 +1926,15 @@ def q_pq_topk(spark, sf_dir):
     return pq.pq_topk(emb)
 
 
+def q_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN (the FAISS IVFx,PQy production shape): coarse cell
+    pruning to the probe's 3 nearest cells, PQ ADC only within them;
+    true distance audited per row.  Bit-identical DuckDB replay."""
+    session.prep(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq.ivf_pq_topk(emb)
+
+
 def q_tool_pagerank(spark, sf_dir):
     """Integer PageRank over the tool-transition graph of the
     transcripts (which tool tends to follow which): fixed-point
@@ -2250,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "temperature_mix": q_temperature_mix,
         "rollout_diversity": q_rollout_diversity,
+        "ivf_pq": q_ivf_pq,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -3239,6 +3249,7 @@ GROUP BY doc_id""",
         # against a naive single-machine trainer on randomized corpora.
         "kmeans_embed": cluster.kmeans_oracle_sql(k=8, n_iter=4),
         "pq_topk": pq.pq_oracle_sql(),
+        "ivf_pq": pq.ivf_pq_oracle_sql(),
         "temperature_mix": f"""WITH cnt AS MATERIALIZED (
   SELECT source AS k, CAST(count(*) AS BIGINT) AS n
   FROM documents GROUP BY 1),

@@ -50,7 +50,10 @@ def _sub_dist_expr(start: int, sub: int, cent: list[int]) -> str:
 
 
 def _with_codes(
-    qdf: DataFrame, codebooks: list[list[list[int]]], sub: int
+    qdf: DataFrame,
+    codebooks: list[list[list[int]]],
+    sub: int,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add code_0..code_{M-1}: per-subspace argmin over the broadcast
     centroid literals (ties toward the smallest code id)."""
@@ -67,7 +70,7 @@ def _with_codes(
         cols.append(
             F.array_min(F.array(*structs))["cid"].alias(f"code_{s}")
         )
-    return qdf.select("vec_id", "q", *cols)
+    return qdf.select("vec_id", "q", *extra, *cols)
 
 
 def pq_train(
@@ -271,6 +274,201 @@ c{t}_{s} AS MATERIALIZED (
          CAST({est} AS BIGINT) AS est_dist_sq,
          {true_d} AS true_dist_sq
   FROM q {code_joins} {lut_joins} CROSS JOIN pr)
+SELECT * FROM fin ORDER BY est_dist_sq, vec_id LIMIT {topk}"""
+    )
+    head, tail = parts[0], parts[1:]
+    return head + ",\n" + ",\n".join(tail[:-1]) + ",\n" + tail[-1]
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    nprobe: int = 3,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS IVFx,PQy): a
+    coarse inverted-file layer prunes the corpus to the probe's
+    `nprobe` nearest cells, then PQ ADC estimates distances only
+    within those cells.  At 10^12 vectors the cell id is the
+    partition key (scan touches nprobe partitions, not the corpus)
+    and each candidate costs M table lookups on its byte codes — the
+    two scale levers composed.
+
+    Coarse centroids follow similarity.py's IVF convention (the
+    k_coarse smallest vec_ids' vectors — deterministic, no training);
+    cell assignment is the full-dim fixed-point argmin
+    (cluster._assign).  Probe = the smallest vec_id's vector; its
+    probed cells are the nprobe nearest coarse centroids by the same
+    integer distance (cid tiebreak).  Output: topk candidates
+    (vec_id, cell, est_dist_sq, true_dist_sq) by (est, vec_id).
+
+    Every step is the established fixed-point recipe, so the DuckDB
+    replay (ivf_pq_oracle_sql) agrees hash-for-hash."""
+    from .cluster import _assign
+
+    qdf = quantize(emb).persist()
+    try:
+        dim = len(qdf.select("q").first()["q"])
+        sub = dim // m
+        seeds = qdf.orderBy("vec_id").limit(k_coarse).collect()
+        coarse = [list(r["q"]) for r in seeds]
+        celled = _assign(qdf, coarse)  # vec_id, q, cluster, dist_sq
+        codebooks = pq_train(qdf, m, k, n_iter)
+        probe = list(qdf.orderBy("vec_id").limit(1).collect()[0]["q"])
+        pd_ = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(probe, c)),
+                cid,
+            )
+            for cid, c in enumerate(coarse)
+        )
+        cells = [cid for _, cid in pd_[:nprobe]]
+        cand = celled.filter(F.col("cluster").isin(cells))
+        coded = _with_codes(cand, codebooks, sub, extra=("cluster",))
+        luts = [
+            [
+                sum(
+                    (probe[s * sub + i] - c[i]) ** 2
+                    for i in range(sub)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        est = None
+        for s in range(m):
+            arr = "array(" + ",".join(f"{v}L" for v in luts[s]) + ")"
+            term = F.expr(f"element_at({arr}, code_{s} + 1)")
+            est = term if est is None else est + term
+        parr = ",".join(f"{v}L" for v in probe)
+        true_d = F.expr(
+            f"aggregate(zip_with(q, array({parr}),"
+            " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+        )
+        return (
+            coded.select(
+                "vec_id",
+                F.col("cluster").cast("int").alias("cell"),
+                est.cast("bigint").alias("est_dist_sq"),
+                true_d.cast("bigint").alias("true_dist_sq"),
+            )
+            .orderBy("est_dist_sq", "vec_id")
+            .limit(topk)
+        )
+    finally:
+        qdf.unpersist()
+
+
+def ivf_pq_oracle_sql(
+    k_coarse: int = 8,
+    nprobe: int = 3,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    topk: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ivf_pq_topk: coarse cells + probed-cell
+    pruning + the pq_oracle_sql PQ chain, ADC restricted to
+    candidates.  All multi-reference CTEs MATERIALIZED."""
+    sub = dim // m
+    scale = KM_SCALE
+    fulldist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> (q[i] - c[i]) * (q[i] - c[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS q
+  FROM {table}),
+co AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k_coarse})),
+cel AS MATERIALIZED (
+  SELECT vec_id, q, cid AS cell FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {fulldist}, cid) AS rn
+    FROM q CROSS JOIN co) WHERE rn = 1),
+prq AS MATERIALIZED (SELECT q AS p FROM q ORDER BY vec_id LIMIT 1),
+pcells AS MATERIALIZED (
+  SELECT cid FROM (
+    SELECT cid,
+           CAST(list_sum(list_transform(generate_series(1, {dim}),
+             i -> (p[i] - c[i]) * (p[i] - c[i]))) AS BIGINT) AS d
+    FROM co CROSS JOIN prq)
+  ORDER BY d, cid LIMIT {nprobe}),
+cand AS MATERIALIZED (
+  SELECT vec_id, q, cell FROM cel WHERE cell IN (SELECT cid FROM pcells))"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        dist = (
+            f"CAST(list_sum(list_transform(generate_series(1, {sub}),"
+            f" i -> (q[{lo} - 1 + i] - c[i]) * (q[{lo} - 1 + i] - c[i])))"
+            " AS BIGINT)"
+        )
+        parts.append(
+            f"""c0_{s} AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         q[{lo}:{hi}] AS c
+  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k}))"""
+        )
+        for t in range(1, n_iter + 1):
+            parts.append(
+                f"""a{t}_{s} AS MATERIALIZED (
+  SELECT vec_id, q, cid FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {dist}, cid) AS rn
+    FROM q CROSS JOIN c{t - 1}_{s}) WHERE rn = 1),
+s{t}_{s} AS MATERIALIZED (
+  SELECT cid, i.i AS i,
+         CAST(sum(q[{lo} - 1 + i.i]) AS BIGINT) AS sm, count(*) AS cnt
+  FROM a{t}_{s}, generate_series(1, {sub}) AS i(i)
+  GROUP BY cid, i.i),
+c{t}_{s} AS MATERIALIZED (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM c{t - 1}_{s} p LEFT JOIN (
+    SELECT cid, list(sm // cnt ORDER BY i) AS c
+    FROM s{t}_{s} GROUP BY cid) n USING (cid))"""
+            )
+        parts.append(
+            f"""code_{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {dist}, cid) AS rn
+    FROM cand q CROSS JOIN c{n_iter}_{s}) WHERE rn = 1),
+lut_{s} AS MATERIALIZED (
+  SELECT cid, CAST(list_sum(list_transform(generate_series(1, {sub}),
+         i -> (p[{lo} - 1 + i] - c[i]) * (p[{lo} - 1 + i] - c[i])))
+         AS BIGINT) AS d
+  FROM c{n_iter}_{s} CROSS JOIN prq)"""
+        )
+    code_joins = " ".join(
+        f"JOIN code_{s} USING (vec_id)" for s in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut_{s} ON lut_{s}.cid = code_{s}.code" for s in range(m)
+    )
+    est = " + ".join(f"lut_{s}.d" for s in range(m))
+    true_d = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> (cand.q[i] - prq.p[i]) * (cand.q[i] - prq.p[i])))"
+        " AS BIGINT)"
+    )
+    parts.append(
+        f"""fin AS MATERIALIZED (
+  SELECT cand.vec_id AS vec_id, CAST(cand.cell AS INT) AS cell,
+         CAST({est} AS BIGINT) AS est_dist_sq,
+         {true_d} AS true_dist_sq
+  FROM cand {code_joins} {lut_joins} CROSS JOIN prq)
 SELECT * FROM fin ORDER BY est_dist_sq, vec_id LIMIT {topk}"""
     )
     head, tail = parts[0], parts[1:]

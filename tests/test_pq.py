@@ -152,3 +152,35 @@ def test_pq_recall_vs_exact_reasonable(spark):
     )[:10]
     hit = sum(1 for _, i in exact if i in adc_ids)
     assert hit >= 5
+
+
+def test_ivf_pq_prunes_to_probed_cells_and_keeps_neighbors(spark):
+    # clustered corpus: pruning must keep the probe's neighborhood
+    rng = random.Random(5)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)
+    ]
+    rows = [
+        (
+            i,
+            [
+                round(c + rng.uniform(-0.05, 0.05), 4)
+                for c in centers[i % 8]
+            ],
+            0,
+        )
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = pq.ivf_pq_topk(df, k_coarse=8, nprobe=3, topk=10).collect()
+    assert len(out) == 10
+    # pruned scan: at most nprobe distinct cells in the result
+    assert len({r["cell"] for r in out}) <= 3
+    # the probe itself survives pruning (its cell is always probed)
+    assert any(r["vec_id"] == 0 and r["true_dist_sq"] == 0 for r in out)
+    # neighborhood quality: most of the exact top-10 (same planted
+    # cluster as vec 0: ids ≡ 0 mod 8) appear in the ADC top-10
+    same_cluster = {r["vec_id"] for r in out if r["vec_id"] % 8 == 0}
+    assert len(same_cluster) >= 7
