@@ -1824,6 +1824,34 @@ def q_streaming_hll(spark, sf_dir):
     )
 
 
+def q_streaming_cms(spark, sf_dir):
+    """Count-Min sketch cells maintained over a live stream
+    (complete-mode groupBy(j, cell) count — state bounded at d*w rows
+    at any volume), drained with Trigger.AvailableNow; equals the
+    batch cms_cells over the same corpus (exactly-once source)."""
+    import tempfile
+
+    from super_speedy_syslog_searcher_spark.streaming import (
+        pipeline as SP,
+    )
+
+    session.prep(spark)
+    t = _t(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="s4cms_in_")
+    t.write.mode("overwrite").parquet(in_dir)
+    name = "s4_stream_cms_q"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    SP.run_cms_to_memory(spark, in_dir, name, col="text")
+    return spark.table(name).select(
+        F.col("j").cast("int").alias("j"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("c").cast("bigint").alias("c"),
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact integer order-statistic quantiles of document length
     (p50/p90/p99 of n_chars in permille ranks) — pure integer math on
@@ -2260,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "rollout_diversity": q_rollout_diversity,
         "ivf_pq": q_ivf_pq,
+        "streaming_cms": q_streaming_cms,
         "pack_sft": q_pack_sft,
         "loss_mask_spans": q_loss_mask_spans,
         "role_alternation": q_role_alternation,
@@ -3899,6 +3928,14 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(min(k) AS BIGINT) AS min_k,
        CAST(max(k) AS BIGINT) AS max_k
 FROM t GROUP BY 1""",
+        "streaming_cms": f"""{b},
+tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM exp),
+cj AS (SELECT token, unnest([0, 1, 2, 3]) AS j FROM tok)
+SELECT CAST(j AS INT) AS j,
+       CAST(({_hex13_sql("CAST(j AS VARCHAR) || ':' || token")}) % 1024
+            AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS c
+FROM cj GROUP BY 1, 2""",
         "streaming_hll": f"""{b},
 h AS (SELECT ({_hex13_sql("text")}) AS hv FROM exp)
 SELECT CAST(hv % 256 AS INT) AS bucket,

@@ -166,3 +166,57 @@ def run_hll_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def cms_cell_stream(
+    stream: DataFrame, col: str = "text", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-Min sketch cells maintained over a stream: the
+    groupBy(j, cell) COUNT aggregate is streaming-legal in
+    complete/update mode with state bounded at d*w rows regardless of
+    stream volume — a running heavy-hitter sketch over an unbounded
+    token feed.  Unlike the HLL registers (max — redelivery-proof),
+    COUNT is additive, so this assumes an exactly-once source
+    (redelivered files would double-count; dedup upstream with
+    streaming_dedup's digest state if the source is at-least-once).
+    Equals the batch cms_cells over everything ingested so far."""
+    from ..operators.sketch import _h13
+
+    tok = stream.select(
+        F.explode(F.split(F.lower(F.col(col)), " ")).alias("token")
+    )
+    cj = tok.select(
+        "token",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    )
+    cell = (
+        _h13(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))
+        )
+        % w
+    ).cast("int")
+    return (
+        cj.select("j", cell.alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def run_cms_to_memory(
+    spark: SparkSession,
+    in_dir: str,
+    query_name: str,
+    col: str = "text",
+) -> None:
+    """Drain the CMS cell stream to an in-memory sink (complete
+    mode); on a cluster this is an update-mode sink keyed on
+    (j, cell)."""
+    q = (
+        cms_cell_stream(stream_source(spark, in_dir), col)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

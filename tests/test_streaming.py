@@ -477,3 +477,47 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     t.unpersist()
+
+
+def test_streaming_cms_cells_equal_batch_across_drains(spark, tmp_path):
+    """The complete-mode CMS cell stream equals the batch cms_cells
+    over everything ingested so far, across two drains (exactly-once
+    source — counts are additive, unlike the HLL max)."""
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        cms_cells,
+    )
+    from super_speedy_syslog_searcher_spark.streaming import pipeline as sp2
+
+    in_dir = str(tmp_path / "cms_in")
+    t = transcripts_df(spark, SF_SMOKE).cache()
+    t.filter("turn_idx < 10").coalesce(1).write.mode("append").parquet(in_dir)
+    name = "t_stream_cms"
+    sp2.run_cms_to_memory(spark, in_dir, name, col="text")
+
+    def batch_cells(df):
+        vocab = (
+            df.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        return cms_cells(vocab)
+
+    got1 = spark.table(name).select("j", "cell", "c")
+    want1 = batch_cells(t.filter("turn_idx < 10").select("text"))
+    assert got1.exceptAll(want1).count() == 0
+    assert want1.exceptAll(got1).count() == 0
+
+    # second drain: counts must GROW to the new batch total
+    t.filter("turn_idx >= 10").coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    sp2.run_cms_to_memory(spark, in_dir, name, col="text")
+    got2 = spark.table(name).select("j", "cell", "c")
+    want2 = batch_cells(t.select("text"))
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+    t.unpersist()
