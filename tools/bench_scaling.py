@@ -234,13 +234,14 @@ it.
 
 ### Round-5 repeat-run record (drift disclosure)
 
-Two full bench_scaling runs ~40 min apart on the same idle box, same
-code:
+Three full bench_scaling runs on the same idle box (A/B ~40 min
+apart; C the next day after the 95->107-query session):
 
 | run | eff 2->8 | eff 8->32 | tp local[32] | suite parse_merge |
 |---|---|---|---|---|
 | A (10:55Z) | 0.815 | 0.293 | 430k/s | 18.9 s (drift episode: its 1M-turn run also drew 28.6 s — slower than 5M, physically implausible) |
 | B (11:45Z) | 0.788 | 0.241 | 323k/s | 8.58 s = 583 k turns/s (clean; all queries 7-14 s) |
+| C (2026-08-18, post-107-query session) | 0.797 | 0.372 | 434k/s | — (suite not re-timed; standalone bench that day: 5M median 10.99 s = 455 k turns/s) |
 
 Each run caught a drift episode in a different phase — scaling
 levels clean + suite poisoned (A), levels depressed + suite clean
