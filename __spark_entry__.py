@@ -768,6 +768,17 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_prefix_join(spark, sf_dir):
+    """Exact Jaccard >= 0.8 similarity join via prefix filtering
+    (ppjoin-lite): candidates from prefix x posting joins only, exact
+    doc-keyed verify; the oracle generates candidates INDEPENDENTLY
+    (any shared shingle) — equality proves the pigeonhole
+    completeness of the prefix filter."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.prefix_filter_pairs(docs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     session.prep(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2222,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "prefix_join": q_prefix_join,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
@@ -3062,6 +3074,22 @@ j AS (
   JOIN sz sb ON doc_b = sb.doc_id)
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
 FROM j WHERE jaccard >= 0.2""",
+        "prefix_join": f"""WITH {_SHINGLES_CTE},
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jj AS (
+  SELECT doc_a, doc_b, shared, sa.n + sb.n - shared AS uni
+  FROM cand JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(shared AS BIGINT) AS shared, CAST(uni AS BIGINT) AS uni,
+       CAST((1000 * shared) // uni AS BIGINT) AS jaccard_permille
+FROM jj WHERE shared * 5 >= 4 * uni""",
         "dedup_lsh_verified": f"""WITH {_SHINGLES_CTE},
 sig AS (SELECT doc_id, {minhash_sig} FROM sh GROUP BY doc_id),
 bands AS (

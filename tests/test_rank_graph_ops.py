@@ -347,3 +347,79 @@ def test_pq_topk_plan_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------ prefix-filter exact join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in rows],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_prefix_join_exact_at_and_below_threshold(spark):
+    from super_speedy_syslog_searcher_spark.operators import dedup
+
+    # 10 words -> 8 shingles; editing the last word changes only
+    # the final shingle: shared 7, union 9 -> 777 permille
+    base = "a b c d e f g h i j"
+    near = "a b c d e f g h i z"
+    same = base  # identical: jaccard 1000
+    rows = [(1, base), (2, same), (3, near)]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_permille"]
+        for r in dedup.prefix_filter_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == {(1, 2): 1000}  # near pair (777) below tau=0.8
+
+    # lower tau to 7/10: the near pair now qualifies — completeness
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_permille"]
+        for r in dedup.prefix_filter_pairs(
+            _docs(spark, rows), tau_num=7, tau_den=10
+        ).collect()
+    }
+    assert got2 == {(1, 2): 1000, (1, 3): 777, (2, 3): 777}
+
+
+def test_prefix_join_completeness_vs_direct(spark):
+    """Randomized: prefix-filtered results == the direct any-shingle
+    exact join at the same threshold (the pigeonhole guarantee)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark.operators import dedup
+
+    rng = random.Random(13)
+    vocab = [f"w{k}" for k in range(30)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(6, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard_permille"])
+        for r in dedup.prefix_filter_pairs(
+            docs, tau_num=1, tau_den=2
+        ).collect()
+    }
+    # direct reference: ngram-style any-shingle join + same verify
+    sh = dedup._shingles(docs)
+    sz = {r["doc_id"]: r["n"] for r in
+          sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    byd = {}
+    for r in sh.collect():
+        byd.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = set()
+    ids = sorted(byd)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(byd[a] & byd[b])
+            uni = sz[a] + sz[b] - inter
+            if inter and inter * 2 >= uni:
+                want.add((a, b, (1000 * inter) // uni))
+    assert got == want
