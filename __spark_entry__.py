@@ -1794,6 +1794,31 @@ def q_corpus_diff(spark, sf_dir):
     return transforms.corpus_diff(docs, new)
 
 
+def q_snapshot_apply(spark, sf_dir):
+    """MERGE INTO (the CDC write side): apply the q_corpus_diff
+    increment — %7 updates, %11 inserts under new ids, %13 delete
+    tombstones — to the base snapshot; the oracle derives the target
+    snapshot directly, so hash equality proves the round-trip law
+    (diff -> apply == new)."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    updates = docs.filter(
+        (F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0)
+    ).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("new doc "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return transforms.snapshot_apply(
+        docs, updates.unionByName(inserts), deletes
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Schema-on-read JSON payload extraction over events.props
     (JVM-side get_json_object, whole-stage codegen) aggregated per
@@ -2263,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "inverted_index": q_inverted_index,
         "corpus_diff": q_corpus_diff,
+        "snapshot_apply": q_snapshot_apply,
         "json_props": q_json_props,
         "streaming_hll": q_streaming_hll,
         "response_latency": q_response_latency,
@@ -3929,6 +3955,19 @@ SELECT CAST(q_permille AS INT) AS q_permille,
        CAST(min(CASE WHEN cum >= k THEN v END) AS BIGINT) AS value
 FROM r, cum GROUP BY q_permille, k""",
         "hourly_uniques": _hourly_uniques_sql(),
+        "snapshot_apply": """WITH up AS MATERIALIZED (
+  SELECT doc_id, text || ' v2' AS text FROM documents
+  WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0),
+dead AS MATERIALIZED (
+  SELECT doc_id FROM up
+  UNION SELECT doc_id FROM documents WHERE doc_id % 13 = 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text, 'kept' AS op
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), text, 'upserted' FROM up""",
         "corpus_diff": """WITH o AS (
   SELECT doc_id, md5(text) AS od FROM documents),
 nw AS (

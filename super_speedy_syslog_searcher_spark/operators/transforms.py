@@ -129,3 +129,43 @@ def json_props_stats(events: DataFrame) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+def snapshot_apply(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MERGE INTO — the write side of corpus_diff's CDC: apply an
+    increment (upserted rows + delete tombstones) to a base snapshot
+    and emit the next snapshot with per-row provenance:
+
+        result = (base ANTI JOIN (upsert ids ∪ delete ids))  -> 'kept'
+                 UNION upserts                               -> 'upserted'
+
+    Round-trip law (test-pinned, and the driver oracle derives the
+    target snapshot directly): applying the increment that
+    corpus_diff classifies reproduces the new snapshot exactly.
+
+    Scale: two id-keyed anti joins of id projections (text never
+    moves on the kept side — only ids shuffle; the upsert side moves
+    its own text once).  On bucketed/Iceberg tables the id joins are
+    Exchange-free and this is exactly the copy-on-write MERGE shape."""
+    dead = (
+        upserts.select(F.col(id_col))
+        .unionByName(deletes.select(F.col(id_col)))
+        .distinct()
+    )
+    kept = base.select(
+        F.col(id_col).cast("bigint").alias(id_col), "text"
+    ).join(
+        dead.select(F.col(id_col).cast("bigint").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    return kept.withColumn("op", F.lit("kept")).unionByName(
+        upserts.select(
+            F.col(id_col).cast("bigint").alias(id_col), "text"
+        ).withColumn("op", F.lit("upserted"))
+    )

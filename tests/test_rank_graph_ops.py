@@ -423,3 +423,42 @@ def test_prefix_join_completeness_vs_direct(spark):
             if inter and inter * 2 >= uni:
                 want.add((a, b, (1000 * inter) // uni))
     assert got == want
+
+
+# ------------------------------------------------- snapshot apply
+
+
+def test_snapshot_apply_roundtrip_with_diff(spark):
+    from super_speedy_syslog_searcher_spark.operators import transforms
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        "doc_id long, text string",
+    )
+    upserts = spark.createDataFrame(
+        [(2, "two v2"), (9, "nine")], "doc_id long, text string"
+    )
+    deletes = spark.createDataFrame([(4,)], "doc_id long")
+    out = transforms.snapshot_apply(base, upserts, deletes)
+    got = {(r["doc_id"], r["text"], r["op"]) for r in out.collect()}
+    assert got == {
+        (1, "one", "kept"),
+        (3, "three", "kept"),
+        (2, "two v2", "upserted"),
+        (9, "nine", "upserted"),
+    }
+    # round-trip law: diff(base, applied) classifies exactly the
+    # increment
+    st = {
+        r["doc_id"]: r["status"]
+        for r in transforms.corpus_diff(
+            base, out.select("doc_id", "text")
+        ).collect()
+    }
+    assert st == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        9: "added",
+    }
