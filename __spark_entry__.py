@@ -2008,6 +2008,15 @@ def q_tool_pagerank(spark, sf_dir):
     return graph.pagerank(edges, n_iter=3)
 
 
+def q_tool_triangles(spark, sf_dir):
+    """Per-node triangle counts on the tool-transition graph via
+    degree orientation (out-degree bounded wedge join); the oracle
+    counts triangles independently with a direct a < b < c triple
+    join — two different algorithms agreeing bit-for-bit."""
+    edges = graph.tool_edges(_t(spark, sf_dir))
+    return graph.triangle_counts(edges)
+
+
 def q_group_split(spark, sf_dir):
     """Leakage-safe train/val/test split: the split key is the hash of
     the SOURCE (group), not the doc, so near-duplicate pages of one
@@ -2317,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grpo_advantage": q_grpo_advantage,
         "bt_ratings": q_bt_ratings,
         "tool_pagerank": q_tool_pagerank,
+        "tool_triangles": q_tool_triangles,
         "group_split": q_group_split,
         "pq_topk": q_pq_topk,
         "retention": q_retention,
@@ -2725,6 +2735,22 @@ ed AS MATERIALIZED (
   SELECT prev AS src, tool AS dst, CAST(count(*) AS BIGINT) AS weight
   FROM te WHERE prev IS NOT NULL GROUP BY 1, 2),
 {graph.pagerank_oracle_cte("ed", n_iter=3)}""",
+        "tool_triangles": f"""{b},
+te AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM exp WHERE tool <> 'none'),
+ed AS MATERIALIZED (
+  SELECT prev AS src, tool AS dst FROM te WHERE prev IS NOT NULL),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ed WHERE src <> dst)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT unnest([e1.a, e1.b, e2.b]) AS node
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+GROUP BY 1""",
         "pack_sft": f"""{b},
 cl AS (
   SELECT conv_id,

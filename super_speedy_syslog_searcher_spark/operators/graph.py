@@ -158,3 +158,68 @@ p{t} AS MATERIALIZED (
 FROM nd LEFT JOIN ow ON ow.src = nd.node
         JOIN p{n_iter} USING (node)"""
     return ",\n".join(parts) + "\n" + fin
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph of
+    `edges` (self-loops dropped, weights/directions collapsed) — the
+    clustering-structure primitive of graph-based corpus curation
+    (spam-farm detection in link graphs, community density).
+
+    Degree orientation (the classic distributed-triangle bound): each
+    undirected edge is oriented from its lower-(degree, node) endpoint
+    to the higher one, so every node's out-degree is O(sqrt(m)) and
+    the wedge join's candidate volume is sum(out_deg^2) = O(m^1.5) —
+    never the naive sum(deg^2) that a hub node would explode.  Wedges
+    (u -> v, u -> w) close against the undirected edge set on the
+    (v, w) key.  Three equi-joins total, all key-partitioned; the
+    DuckDB oracle counts triangles INDEPENDENTLY (direct a < b < c
+    triple join), so hash equality cross-validates the orientation
+    algorithm.
+
+    Output: (node, n_triangles) for nodes in at least one triangle."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    e = und.join(da, "a").join(db, "b")
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = e.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    x = o.alias("x")
+    y = o.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+    ).select(
+        F.col("x.u").alias("u"),
+        F.col("x.v").alias("v"),
+        F.col("y.v").alias("w"),
+    )
+    tri = wedges.join(
+        und,
+        (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
+    ).select("u", "v", "w")
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

@@ -462,3 +462,42 @@ def test_snapshot_apply_roundtrip_with_diff(spark):
         4: "removed",
         9: "added",
     }
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {a,b,c,d} minus edge (c,d): triangles abc, abd only
+    rows = [
+        ("a", "b", 1), ("a", "c", 1), ("a", "d", 1),
+        ("b", "c", 1), ("b", "d", 1),
+        ("b", "a", 9),  # reverse duplicate collapses
+        ("e", "e", 1),  # self-loop dropped
+    ]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in graph.triangle_counts(_edges(spark, rows)).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 1), ("d", 1)}
+
+
+def test_triangle_counts_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(19)
+    nodes = [f"n{i}" for i in range(12)]
+    und = {
+        tuple(sorted(p))
+        for p in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    }
+    rows = [(a, b, 1) for a, b in und]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in graph.triangle_counts(_edges(spark, rows)).collect()
+    }
+    cnt = {}
+    for x, y, z in itertools.combinations(sorted(nodes), 3):
+        if ((x, y) in und and (y, z) in und and (x, z) in und):
+            for v in (x, y, z):
+                cnt[v] = cnt.get(v, 0) + 1
+    assert got == set(cnt.items())
