@@ -165,6 +165,7 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         and repl >= 5
         and os.environ.get("S4SPARK_BENCH_BIG", "1") != "0"
     ):
+        la_before_big = tuple(round(x, 2) for x in os.getloadavg())
         t3 = replicated_transcripts(spark, sf_dir, repl * 10).cache()
         n_turns_big = t3.count()
 
@@ -178,13 +179,16 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         _run_merge_big()
         timings["parse_merge_50m"] = round(time.perf_counter() - t0, 3)
         t3.unpersist()
-    return {
+    out = {
         "n_turns": n_turns,
         "n_turns_small": n_turns_small,
         "n_turns_big": n_turns_big,
         "timings": timings,
         "rounds": rounds,
     }
+    if n_turns_big:
+        out["loadavg_before_big"] = la_before_big
+    return out
 
 
 def main() -> None:
@@ -193,6 +197,12 @@ def main() -> None:
     # Spark's fixed overhead (session, UDF worker fork, 2 shuffles)
     # has amortized; see BENCH/BASELINE.md scaling table.
     repl = int(os.environ.get("S4SPARK_BENCH_REPL", "50"))
+    # ambient-load disclosure: this sandbox has an external co-tenant
+    # whose bursts show up in /proc/loadavg even with zero local work
+    # (observed load1 ~19 on an otherwise idle box, halving a
+    # 32-core run).  Emitting the load around the run lets a reader
+    # attribute a slow draw to ambient load instead of a regression.
+    la_start = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark(app_name="s4spark-bench")
     res = run(spark, sf_dir, repl)
     total = sum(res["timings"].values())
@@ -227,6 +237,10 @@ def main() -> None:
         out["turns_per_sec_50m"] = round(
             res["n_turns_big"] / res["timings"]["parse_merge_50m"]
         )
+    out["loadavg_start"] = la_start
+    if "loadavg_before_big" in res:
+        out["loadavg_before_big"] = res["loadavg_before_big"]
+    out["loadavg_end"] = tuple(round(x, 2) for x in os.getloadavg())
     spark.stop()
     print(json.dumps(out))
 

@@ -253,6 +253,16 @@ bench.py measured 5M at 573k turns/s and the 50M point at
 518-611k turns/s across runs (the 50M run is long enough to average
 over drift).
 
+Ambient-load diagnosis (2026-08-18): the drift source is now directly
+observable — /proc/loadavg showed load1 ~19 on an otherwise idle box
+(zero local processes), and a 50M headline run timed during that
+episode drew 223 s twice; re-run after the load fell it drew 143.5 s
+(348 k turns/s, inside the recorded 86.5-185.7 s spread).  bench.py
+now emits loadavg_start / loadavg_before_big / loadavg_end in its
+JSON so every draw carries its own ambient-load disclosure: before
+trusting any slow draw, check its loadavg fields.
+
+
 A third standalone bench.py draw later the same day (58-query repo,
 post dup_spans/incremental/streaming-dedup additions) measured the
 best anchors yet: 5M headline 7.61 s = 657 k turns/s (median of 3
