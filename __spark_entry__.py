@@ -1960,6 +1960,25 @@ def q_log_templates(spark, sf_dir):
     return stats.log_templates(_t(spark, sf_dir), topn=50)
 
 
+def q_length_histogram(spark, sf_dir):
+    """Mergeable power-of-two histogram of document lengths: bucket =
+    floor(log2(n_chars)) exactly via binary-string length (no float
+    log); at most 64 rows at any corpus size."""
+    session.prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.log2_histogram(docs, "n_chars")
+
+
+def q_hourly_forecast(spark, sf_dir):
+    """Seasonal-naive volume forecast per (event_type, hour):
+    prediction = actual 24 h earlier, absolute error alongside — the
+    capacity-planning baseline; the self-join runs on the hourly
+    aggregate, never on events."""
+    session.prep(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.hourly_forecast(ev)
+
+
 def q_retention(spark, sf_dir):
     """Retention-cohort matrix over the events stream: users bucketed
     by first-event date, counted per later active-day offset — two
@@ -2331,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "retention": q_retention,
         "funnel": q_funnel,
+        "length_histogram": q_length_histogram,
+        "hourly_forecast": q_hourly_forecast,
         "repeat_collapse": q_repeat_collapse,
         "log_templates": q_log_templates,
         "temperature_mix": q_temperature_mix,
@@ -3429,6 +3450,24 @@ ag AS (
   FROM tpl GROUP BY 1)
 SELECT template, n_lines, example FROM ag
 ORDER BY n_lines DESC, template LIMIT 50""",
+        "length_histogram": """
+SELECT CAST(CASE WHEN n_chars <= 0 THEN -1
+            ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS INT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS min_v,
+       CAST(max(n_chars) AS BIGINT) AS max_v
+FROM documents GROUP BY 1""",
+        "hourly_forecast": """WITH hc AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS actual
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type AS event_type, a.hour AS hour, a.actual AS actual,
+       p.actual AS forecast,
+       CAST(abs(a.actual - p.actual) AS BIGINT) AS abs_err
+FROM hc a JOIN hc p
+  ON p.event_type = a.event_type
+ AND p.hour + INTERVAL 24 HOURS = a.hour""",
         "retention": """WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
 ch AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1)

@@ -811,3 +811,32 @@ def temperature_mix(
         .filter(F.col("pick_rank") <= F.col("_tgt"))
         .select(id_col, key_col, "pick_rank")
     )
+
+
+def log2_histogram(df: DataFrame, col: str) -> DataFrame:
+    """Mergeable power-of-two histogram of a non-negative integer
+    column — the constant-size distribution profile (latency /
+    length / size columns) that replaces exact quantiles when all you
+    need is the shape: bucket = floor(log2(v)) computed EXACTLY as
+    length(binary(v)) - 1 (the HLL rho recipe — no float log), v = 0
+    in bucket -1.  At most 64 rows regardless of input size;
+    disjoint shards merge by (sum, min, max) per bucket
+    (test-pinned), so a 100 TB profile is a 64-row reduce.
+
+    Output: (bucket, n, min_v, max_v)."""
+    b = (
+        F.when(F.col(col) <= 0, F.lit(-1))
+        .otherwise(
+            F.length(F.conv(F.col(col).cast("long"), 10, 2)) - 1
+        )
+        .cast("int")
+    )
+    return (
+        df.select(F.col(col).cast("long").alias("v"), b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v").cast("bigint").alias("min_v"),
+            F.max("v").cast("bigint").alias("max_v"),
+        )
+    )

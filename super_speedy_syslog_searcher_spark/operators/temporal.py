@@ -258,3 +258,38 @@ def funnel_conversion(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def hourly_forecast(events: DataFrame) -> DataFrame:
+    """Seasonal-naive volume forecast — the capacity-planning /
+    alert-threshold baseline every log pipeline runs on its own
+    routed output: predicted count for (event_type, hour) = the
+    actual count 24 hours earlier, with the absolute error alongside
+    (the yardstick any fancier model must beat).  Rows emitted only
+    where a prior-day counterpart exists.
+
+    Shape: one map-side-combined groupBy on (event_type, hour), then
+    a self-join of the HOURLY table on the 24h-shifted key — the join
+    is aggregate-sized (types x hours), never event-sized.  All
+    integer math.  Output: (event_type, hour, actual, forecast,
+    abs_err)."""
+    hc = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+            "hour"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("actual"))
+    prev = hc.select(
+        "event_type",
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour"),
+        F.col("actual").alias("forecast"),
+    )
+    return hc.join(prev, ["event_type", "hour"]).select(
+        "event_type",
+        "hour",
+        "actual",
+        "forecast",
+        F.abs(F.col("actual") - F.col("forecast"))
+        .cast("bigint")
+        .alias("abs_err"),
+    )

@@ -501,3 +501,76 @@ def test_triangle_counts_matches_naive_on_random_graph(spark):
             for v in (x, y, z):
                 cnt[v] = cnt.get(v, 0) + 1
     assert got == set(cnt.items())
+
+
+# ------------------------------------- histogram + forecast baseline
+
+
+def test_log2_histogram_buckets_and_merge(spark):
+    vals = [(0,), (1,), (2,), (3,), (4,), (7,), (8,), (1023,), (1024,)]
+    df = spark.createDataFrame(vals, "v long")
+    got = {
+        r["bucket"]: (r["n"], r["min_v"], r["max_v"])
+        for r in sketch.log2_histogram(df, "v").collect()
+    }
+    assert got == {
+        -1: (1, 0, 0),
+        0: (1, 1, 1),
+        1: (2, 2, 3),
+        2: (2, 4, 7),
+        3: (1, 8, 8),
+        9: (1, 512 + 511, 1023),
+        10: (1, 1024, 1024),
+    }
+    # mergeability: hist(A ∪ B) == per-bucket (sum, min, max) merge
+    a = spark.createDataFrame([(i,) for i in range(1, 50)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(30, 90)], "v long")
+    whole = {
+        r["bucket"]: (r["n"], r["min_v"], r["max_v"])
+        for r in sketch.log2_histogram(a.unionByName(b), "v").collect()
+    }
+    ha = {
+        r["bucket"]: (r["n"], r["min_v"], r["max_v"])
+        for r in sketch.log2_histogram(a, "v").collect()
+    }
+    hb = {
+        r["bucket"]: (r["n"], r["min_v"], r["max_v"])
+        for r in sketch.log2_histogram(b, "v").collect()
+    }
+    merged = {}
+    for h in (ha, hb):
+        for k, (n, lo, hi) in h.items():
+            if k in merged:
+                n0, lo0, hi0 = merged[k]
+                merged[k] = (n0 + n, min(lo0, lo), max(hi0, hi))
+            else:
+                merged[k] = (n, lo, hi)
+    assert whole == merged
+
+
+def test_hourly_forecast_seasonal_naive(spark):
+    import datetime as dt
+
+    from super_speedy_syslog_searcher_spark.operators import temporal
+
+    d0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # day 1, 10:00 — 3 clicks
+        (1, 1, d0, "click", 0.0),
+        (2, 1, d0 + dt.timedelta(minutes=5), "click", 0.0),
+        (3, 2, d0 + dt.timedelta(minutes=9), "click", 0.0),
+        # day 2, 10:00 — 1 click (forecast 3, err 2)
+        (4, 1, d0 + dt.timedelta(hours=24), "click", 0.0),
+        # day 2, 11:00 — no day-1 counterpart: not emitted
+        (5, 1, d0 + dt.timedelta(hours=25), "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    )
+    got = [
+        (r["hour"], r["actual"], r["forecast"], r["abs_err"])
+        for r in temporal.hourly_forecast(df).collect()
+    ]
+    assert got == [(d0 + dt.timedelta(hours=24), 1, 3, 2)]
