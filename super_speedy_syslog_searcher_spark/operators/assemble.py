@@ -30,23 +30,20 @@ def assemble_stage(df: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     anchored = F.col("ts_parsed").isNotNull()
-    return (
-        df.withColumn(
-            "msg_turn_idx",
+    # one select, not chained withColumns: all three running lasts
+    # share one window spec, and a single Project lets the analyzer
+    # host them in ONE Window node (one buffer pass over each conv
+    # group instead of two — plans/r06/parse_only_after.txt)
+    return df.select(
+        "*",
+        F.last(
+            F.when(anchored, F.col("turn_idx")), ignorenulls=True
+        ).over(w).alias("msg_turn_idx"),
+        F.last("ts_parsed", ignorenulls=True).over(w).alias("ts_eff"),
+        F.coalesce(
             F.last(
-                F.when(anchored, F.col("turn_idx")), ignorenulls=True
+                F.when(anchored, F.col("sink")), ignorenulls=True
             ).over(w),
-        )
-        .withColumn(
-            "ts_eff", F.last("ts_parsed", ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "sink_eff",
-            F.coalesce(
-                F.last(
-                    F.when(anchored, F.col("sink")), ignorenulls=True
-                ).over(w),
-                F.lit("continuation"),
-            ),
-        )
+            F.lit("continuation"),
+        ).alias("sink_eff"),
     )

@@ -29,6 +29,7 @@ ROLLOVER_HOURS = 25  # syslogprocessor.rs:213
 # every bank family parsed with the anchor year (derived, not listed,
 # so new noyear families are repaired automatically)
 NOYEAR_PATTERN_IDS = tuple(p.pid for p in PATTERNS if p.noyear)
+UPTIME_PATTERN_IDS = tuple(p.pid for p in PATTERNS if p.kind == "uptime")
 
 
 def anchor_uptime(df: DataFrame) -> DataFrame:
@@ -47,6 +48,95 @@ def anchor_uptime(df: DataFrame) -> DataFrame:
         F.when(
             has_up, F.timestamp_micros(anchor_us + F.col("uptime_us"))
         ).otherwise(F.col("ts_parsed")),
+    )
+
+
+def repair_stage_fused(
+    df: DataFrame, noyear_pattern_ids: tuple = NOYEAR_PATTERN_IDS
+) -> DataFrame:
+    """Single-exchange fused repair: identical output to
+    ``repair_noyear_rollover(anchor_uptime(df))`` (the two fixups act
+    on DISJOINT row sets — uptime pattern ids are never in the noyear
+    set, asserted below — so each window family can read the ORIGINAL
+    ts_parsed and both fixups compose in one final CASE).
+
+    Plan win vs the chained form (guide §2.4: two operations keyed
+    the same way share one exchange; fewer Window nodes = fewer
+    full-group buffer passes of the wide rows):
+
+    * the uptime anchor maxes move from an UNORDERED conv window
+      (which forced its own conv_id-only Sort + Window node) into the
+      ordered (conv_id, turn_idx) spec with an unbounded frame — same
+      values, but now they share one Window NODE with the rollover's
+      running ``prev`` frame, and the conv_id-only Sort disappears;
+    * boundaries-after-row stays ``whole-group sum − running sum``
+      (each an O(n)-per-group frame: UnboundedWindowFunctionFrame
+      computes once per group, the running frame streams), but both
+      sums now share ONE ordered-spec Window node.  A tail frame
+      ``sum over (1, unboundedFollowing)`` would be one frame instead
+      of two — but Spark's UnboundedFollowingWindowFunctionFrame
+      re-aggregates from scratch per row, O(n²) on the hot conv group
+      (measured 6x END-TO-END slowdown at 5M turns; rejected).
+
+    Physical shape: Exchange(conv_id) → Sort(conv_id, turn_idx) →
+    Window[anchor maxes + prev] → Window[group-sum + running-sum] →
+    Project, i.e. 2 Window nodes + 1 Sort where the chained form
+    needed 4 Window nodes + 2 Sorts
+    (plans/r06/parse_only_{before,after}.txt).
+    """
+    assert not set(UPTIME_PATTERN_IDS) & set(noyear_pattern_ids), (
+        "fused repair requires uptime/noyear pattern sets disjoint"
+    )
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    has_up = F.col("uptime_us").isNotNull()
+    is_ny = F.col("pattern_id").isin(*noyear_pattern_ids)
+    ny_ts = F.when(is_ny, F.col("ts_parsed"))
+    anchor_us = F.max(
+        F.when(has_up, F.unix_micros(F.col("ts")))
+    ).over(w_full) - F.max("uptime_us").over(w_full)
+    # one select, not chained withColumns: the analyzer extracts
+    # window expressions per Project, so chaining would split these
+    # same-spec frames into two Window nodes (two buffer passes)
+    d1 = df.select(
+        "*",
+        anchor_us.alias("_anchor_us"),
+        F.last(ny_ts, ignorenulls=True).over(w_prev).alias("_prev_ny"),
+    )
+    boundary = F.when(
+        is_ny
+        & F.col("_prev_ny").isNotNull()
+        & (
+            F.col("ts_parsed")
+            < F.col("_prev_ny")
+            - F.expr(f"INTERVAL {ROLLOVER_HOURS} HOURS")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    d2 = d1.withColumn("_b", boundary).select(
+        "*",
+        (
+            F.sum("_b").over(w_full) - F.sum("_b").over(w_run)
+        ).alias("_after"),
+    )
+    fixed = (
+        F.when(
+            has_up,
+            F.timestamp_micros(F.col("_anchor_us") + F.col("uptime_us")),
+        )
+        .when(
+            is_ny & (F.col("_after") > 0),
+            F.col("ts_parsed")
+            - F.make_ym_interval(F.col("_after").cast("int"), F.lit(0)),
+        )
+        .otherwise(F.col("ts_parsed"))
+    )
+    return d2.withColumn("ts_parsed", fixed).drop(
+        "_anchor_us", "_prev_ny", "_b", "_after"
     )
 
 
@@ -88,5 +178,8 @@ def repair_noyear_rollover(
 
 
 def repair_stage(df: DataFrame) -> DataFrame:
-    """Full repair: uptime anchoring then year rollover."""
-    return repair_noyear_rollover(anchor_uptime(df))
+    """Full repair: uptime anchoring then year rollover (fused
+    single-pass form; ``repair_noyear_rollover(anchor_uptime(df))``
+    is the reference chained expression it provably equals —
+    tests/test_repair.py pins the equivalence)."""
+    return repair_stage_fused(df)
