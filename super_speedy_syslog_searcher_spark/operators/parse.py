@@ -82,7 +82,18 @@ def parse_stage(
     """
     if scatter:
         sc = df.sparkSession.sparkContext
-        df = df.repartition(sc.defaultParallelism)
+        n = sc.defaultParallelism
+        if "conv_id" in df.columns and "turn_idx" in df.columns:
+            # hash-scatter on the unique row key instead of round-robin:
+            # identical balance (the key is unique, so hashpartitioning
+            # spreads rows uniformly and splits hot conversations), but
+            # deterministic under task retry WITHOUT the local
+            # sort-before-repartition pass every keyless repartition(n)
+            # pays (SPARK-23207: round-robin must sort its input so
+            # retried map tasks reproduce the same row placement)
+            df = df.repartition(n, F.xxhash64("conv_id", "turn_idx"))
+        else:
+            df = df.repartition(n)
     if winners is not None:
         # winners is a tiny (conv_id, winner_pid) dim: broadcast-join
         # it in and hand the pid to the UDF as a COLUMN — no driver
