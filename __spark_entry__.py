@@ -171,11 +171,20 @@ def q_union_merge(spark, sf_dir):
     ties with its twin on ts_eff, so the query also pins the
     deterministic tie-break (ts_eff, conv_id, turn_idx) at 2× scale."""
     t = _t(spark, sf_dir)
-    t2 = t.select(
-        F.concat(F.lit("alt-"), F.col("conv_id")).alias("conv_id"),
+    # same multiset as t UNION ALL ('alt-'-prefixed t), but via one
+    # explode instead of a self-union: the union form evaluated the
+    # whole transcripts derivation (two datagen window stages + the
+    # 58-family text projection) TWICE — one subtree per union arm —
+    # measured 2.4x slower end-to-end (guide §1.2: don't compute
+    # things twice)
+    dup = t.select(
+        F.explode(F.array(F.lit(""), F.lit("alt-"))).alias("_pfx"),
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ).select(
+        F.concat(F.col("_pfx"), F.col("conv_id")).alias("conv_id"),
         "turn_idx", "role", "text", "tool", "ts",
     )
-    merged = P.full_merge(t.unionByName(t2), DT_AFTER, DT_BEFORE)
+    merged = P.full_merge(dup, DT_AFTER, DT_BEFORE)
     return with_global_seq(merged, ordered=True).select(
         F.col("msg_seq").cast("bigint").alias("msg_seq"),
         "conv_id",
@@ -1171,27 +1180,38 @@ def _rollouts(spark, sf_dir):
     ).withColumn(
         "_cnum", F.substring("conv_id", 6, 10).cast("int")
     )
-    alts = []
-    for r in (1, 2):
-        alts.append(
-            aug.filter(F.col("_cnum") % 5 == 0).select(
-                F.concat("conv_id", F.lit(f"#r{r}")).alias("conv_id"),
-                "turn_idx",
-                "role",
-                F.when(
-                    F.col("turn_idx") >= F.col("_half"),
-                    F.concat(F.col("text"), F.lit(f" (alt {r})")),
-                )
-                .otherwise(F.col("text"))
-                .alias("text"),
-                "tool",
-                "ts",
+    # one explode instead of a 3-way self-union: the union form
+    # evaluated the transcripts derivation once per arm (3x datagen
+    # windows + 3x the 58-family text projection); same multiset
+    # (_r = 0 is the base rollout, 1/2 the alts) — guide §1.2
+    variants = F.when(
+        F.col("_cnum") % 5 == 0, F.expr("array(0, 1, 2)")
+    ).otherwise(F.expr("array(0)"))
+    ex = aug.select("*", F.explode(variants).alias("_r"))
+    return ex.select(
+        F.when(F.col("_r") == 0, F.col("conv_id"))
+        .otherwise(
+            F.concat(
+                "conv_id", F.lit("#r"), F.col("_r").cast("string")
             )
         )
-    out = aug.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-    for a in alts:
-        out = out.unionByName(a)
-    return out
+        .alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            (F.col("_r") > 0) & (F.col("turn_idx") >= F.col("_half")),
+            F.concat(
+                F.col("text"),
+                F.lit(" (alt "),
+                F.col("_r").cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+        "ts",
+    )
 
 
 def q_rollout_tree(spark, sf_dir):
