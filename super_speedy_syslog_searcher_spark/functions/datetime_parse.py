@@ -79,7 +79,7 @@ def _frac_us(frac: pd.Series) -> pd.Series:
 _RX_CACHE: dict[int, re.Pattern] = {}
 
 
-def _extract_matches(sub: pd.Series, p) -> pd.DataFrame | None:
+def _extract_matches(sub: pd.Series, p):
     """Compiled-regex group extraction: semantically
     ``sub.str.extract(p.regex)`` with the non-matching rows dropped,
     but ~2x faster — pandas' extract wraps every row's groups in a
@@ -89,27 +89,46 @@ def _extract_matches(sub: pd.Series, p) -> pd.DataFrame | None:
     object ndarray.  Unmatched OPTIONAL groups surface as None (pandas
     used NaN) — every consumer in ``_canonicalize`` treats the two
     identically (isna/fillna/str/map/== all do).
+
+    Returns (groups frame, pre_len, dt_len) or None: the two int64
+    span arrays come free from the C match object (span subtraction)
+    and replace the two object-dtype ``.str.len()`` passes the
+    callers previously paid per pattern.
     """
     rx = _RX_CACHE.get(p.pid)
     if rx is None:
         rx = _RX_CACHE.setdefault(p.pid, re.compile(p.regex))
     search = rx.search
+    gi_dt = rx.groupindex["dt"]
+    gi_pre = rx.groupindex.get("pre")
     hits: list[int] = []
     rows: list[tuple] = []
+    spans: list[int] = []
+    pres: list[int] = []
     for i, s in enumerate(sub.tolist()):
         if s is not None:
             m = search(s)
             if m is not None:
                 hits.append(i)
                 rows.append(m.groups())
+                b, e = m.span(gi_dt)
+                spans.append(e - b)
+                if gi_pre is not None:
+                    b, e = m.span(gi_pre)
+                    pres.append(e - b)
     if not hits:
         return None
     arr = np.array(rows, dtype=object)
-    return pd.DataFrame(
+    g = pd.DataFrame(
         {name: arr[:, gi - 1] for name, gi in rx.groupindex.items()},
         index=sub.index[hits],
         copy=False,
     )
+    dt_len = np.asarray(spans, dtype="int64")
+    pre_len = (
+        np.asarray(pres, dtype="int64") if gi_pre is not None else None
+    )
+    return g, pre_len, dt_len
 
 
 # days-in-month lookup, 1-indexed (index 0 unused); Feb leap handled
@@ -253,14 +272,29 @@ def _canonicalize(
         # capitalize folds 'jan'/'JAN'/'JANUARY' onto the map; the
         # scan tier's month group also matches full names and the
         # dotted 'Jan.' spelling (CGP_MONTHBb, ere_datetimes_impl.rs:1605)
-        month = (
-            g["b"]
-            .str.replace(".", "", regex=False)
-            .str.capitalize()
-            .map(MONTH_ANY_NUM)
+        # — one Python pass (≡ .str.replace + .str.capitalize + .map,
+        # which each walked the object array separately); unmapped
+        # names → NaN exactly like Series.map
+        month = pd.Series(
+            [
+                MONTH_ANY_NUM.get(v.replace(".", "").capitalize())
+                if v is not None
+                else None
+                for v in g["b"].to_numpy()
+            ],
+            index=g.index,
+            dtype="float64",
         )
     elif "bf" in g.columns:
-        month = g["bf"].str.capitalize().map(MONTH_FULL_NUM)
+        month = pd.Series(
+            [
+                MONTH_FULL_NUM.get(v.capitalize()) if v is not None
+                else None
+                for v in g["bf"].to_numpy()
+            ],
+            index=g.index,
+            dtype="float64",
+        )
     else:
         month = g["M"].astype("int64")
     if "h12" in g.columns:  # 12-hour clock (s4 DTFS_Hour::I, %I + %p)
@@ -293,7 +327,12 @@ def _canonicalize(
             year = pd.Series(anchor_year, index=g.index)
     else:
         year = g["Y"].astype("int64")
-    day = g["D"].str.replace(" ", "").astype("int64")  # 'Jan  1' pad
+    # 'Jan  1' space pad → int in one pass (≡ .str.replace + astype)
+    day = pd.Series(
+        [int(v.replace(" ", "")) for v in g["D"].to_numpy()],
+        index=g.index,
+        dtype="int64",
+    )
     # coerce: an out-of-range component (month 13, day 32) must mean
     # "this pattern did not match" (s4 semantics), never kill the
     # batch — at 10^12 rows one malformed line would fail the job
@@ -551,15 +590,20 @@ def parse_series(
     def try_pattern(p, cand: pd.Series) -> None:
         if not cand.any():
             return
-        g = _extract_matches(prefix[cand], p)
-        if g is None:
+        res = _extract_matches(prefix[cand], p)
+        if res is None:
             return
+        g, pre_len, dt_len = res
         ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
         if up is None:
             valid = ts.notna()
             if not valid.all():  # invalid date → pattern didn't match;
+                vm = valid.to_numpy()
                 g = g[valid]     # row falls through to later patterns
                 ts = ts[valid]
+                dt_len = dt_len[vm]
+                if pre_len is not None:
+                    pre_len = pre_len[vm]
                 if g.empty:
                     return
         midx = g.index
@@ -567,15 +611,9 @@ def parse_series(
         ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
         pid_arr[ppos] = p.pid
         sink_arr[ppos] = p.name
-        beg = (
-            g["pre"].str.len().astype("int64").to_numpy()
-            if p.dt_beg is None
-            else p.dt_beg
-        )
+        beg = pre_len if p.dt_beg is None else p.dt_beg
         beg_arr[ppos] = beg
-        end_arr[ppos] = beg + g["dt"].str.len().astype(
-            "int64"
-        ).to_numpy()
+        end_arr[ppos] = beg + dt_len
         if up is not None:
             up_arr[ppos] = up.to_numpy(dtype="int64")
             up_mask[ppos] = True
@@ -602,13 +640,15 @@ def parse_series(
             sub = cand_sub & remaining[cand_sub.index]
             if not sub.any():
                 return
-            g = _extract_matches(scan_prefix[sub], p)
-            if g is None:
+            res = _extract_matches(scan_prefix[sub], p)
+            if res is None:
                 return
+            g, pre_len, dt_len = res
             ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
             valid = ts.notna() if up is None else pd.Series(
                 True, index=g.index
             )
+            vm = valid.to_numpy()
             g, ts = g[valid], ts[valid]
             if g.empty:
                 return
@@ -617,11 +657,9 @@ def parse_series(
             ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
             pid_arr[ppos] = p.pid
             sink_arr[ppos] = p.name
-            beg = g["pre"].str.len().astype("int64").to_numpy()
+            beg = pre_len[vm]
             beg_arr[ppos] = beg
-            end_arr[ppos] = beg + g["dt"].str.len().astype(
-                "int64"
-            ).to_numpy()
+            end_arr[ppos] = beg + dt_len[vm]
             remaining.loc[midx] = False
 
         for p in SCAN_PATTERNS:
