@@ -47,21 +47,36 @@ RESULT_FIELDS = (
 )
 
 
+_TZ_NUM_MEMO: dict[str, int] = {}
+
+
+def _tz_num_one(v: str) -> int:
+    """Scalar form of the numeric-tz conversion, memoized: a batch
+    carries a handful of DISTINCT offset strings, so the six chained
+    object-dtype str passes the vector form paid (replace/where/pad/
+    slice×3) collapse to one dict hit per row (pure value→value memo —
+    no corpus state)."""
+    m = _TZ_NUM_MEMO.get(v)
+    if m is None:
+        s = v.replace(":", "").replace("−", "-")
+        if s in ("Z", "z"):  # RFC3339 Zulu
+            s = "+0000"
+        # bare-hours offsets (pattern 39 '+08') zero-fill the minutes
+        s = s.ljust(5, "0")
+        m = (-1 if s[0] == "-" else 1) * (int(s[1:3]) * 60 + int(s[3:5]))
+        _TZ_NUM_MEMO[v] = m
+    return m
+
+
 def _tz_minutes_numeric(tz: pd.Series) -> pd.Series:
     """'+0530' / '-08:00' / '+08' / 'Z' → signed minutes.  The U+2212
     minus sign is accepted like the reference's [+-−] classes
     (ere_datetimes_impl.rs:1798)."""
-    tz = tz.str.replace(":", "", regex=False)
-    tz = tz.str.replace("−", "-", regex=False)
-    tz = tz.where(~tz.isin(["Z", "z"]), "+0000")  # RFC3339 Zulu
-    # bare-hours offsets (pattern 39 '+08') zero-fill the minutes
-    tz = tz.str.pad(5, side="right", fillchar="0")
-    sign = np.where(tz.str.slice(0, 1) == "-", -1, 1)
-    mins = (
-        tz.str.slice(1, 3).astype("int64") * 60
-        + tz.str.slice(3, 5).astype("int64")
+    return pd.Series(
+        [_tz_num_one(v) for v in tz.to_numpy()],
+        index=tz.index,
+        dtype="int64",
     )
-    return pd.Series(sign * mins, index=tz.index)
 
 
 def _frac_us(frac: pd.Series) -> pd.Series:
@@ -79,21 +94,29 @@ def _frac_us(frac: pd.Series) -> pd.Series:
 _RX_CACHE: dict[int, re.Pattern] = {}
 
 
-def _extract_matches(sub: pd.Series, p):
+def _extract_matches(strs: list, cand_pos, index, p):
     """Compiled-regex group extraction: semantically
-    ``sub.str.extract(p.regex)`` with the non-matching rows dropped,
-    but ~2x faster — pandas' extract wraps every row's groups in a
-    Python list, materializes a full candidate-sized frame (NaN rows
-    for misses) and then copies the hit subset; here one C-level
-    ``search`` per row feeds matched group tuples straight into one
-    object ndarray.  Unmatched OPTIONAL groups surface as None (pandas
-    used NaN) — every consumer in ``_canonicalize`` treats the two
-    identically (isna/fillna/str/map/== all do).
+    ``series.str.extract(p.regex)`` over the candidate subset with the
+    non-matching rows dropped, but ~2x faster — pandas' extract wraps
+    every row's groups in a Python list, materializes a full
+    candidate-sized frame (NaN rows for misses) and then copies the
+    hit subset; here one C-level ``search`` per row feeds matched
+    group tuples straight into one object ndarray.  Unmatched OPTIONAL
+    groups surface as None (pandas used NaN) — every consumer in
+    ``_canonicalize`` treats the two identically (isna/fillna/str/map/
+    == all do).
 
-    Returns (groups frame, pre_len, dt_len) or None: the two int64
-    span arrays come free from the C match object (span subtraction)
-    and replace the two object-dtype ``.str.len()`` passes the
-    callers previously paid per pattern.
+    Positional calling convention (round 6): ``strs`` is the batch's
+    Python string list materialized ONCE (the per-pattern
+    ``series[mask]`` Arrow→object conversions this replaces were ~15%
+    of the kernel), ``cand_pos`` a plain int list of candidate
+    positions into it, ``index`` the batch's label index (only used to
+    label the groups frame so ``_canonicalize``'s per-row anchor-year
+    reindex still aligns).
+
+    Returns (groups frame, pre_len, dt_len, hit_pos) or None: the two
+    int64 span arrays come free from the C match object (span
+    subtraction), hit_pos are the matched positions into the batch.
     """
     rx = _RX_CACHE.get(p.pid)
     if rx is None:
@@ -105,7 +128,8 @@ def _extract_matches(sub: pd.Series, p):
     rows: list[tuple] = []
     spans: list[int] = []
     pres: list[int] = []
-    for i, s in enumerate(sub.tolist()):
+    for i in cand_pos:
+        s = strs[i]
         if s is not None:
             m = search(s)
             if m is not None:
@@ -118,17 +142,18 @@ def _extract_matches(sub: pd.Series, p):
                     pres.append(e - b)
     if not hits:
         return None
+    hit_pos = np.asarray(hits, dtype="int64")
     arr = np.array(rows, dtype=object)
     g = pd.DataFrame(
         {name: arr[:, gi - 1] for name, gi in rx.groupindex.items()},
-        index=sub.index[hits],
+        index=index[hit_pos],
         copy=False,
     )
     dt_len = np.asarray(spans, dtype="int64")
     pre_len = (
         np.asarray(pres, dtype="int64") if gi_pre is not None else None
     )
-    return g, pre_len, dt_len
+    return g, pre_len, dt_len, hit_pos
 
 
 # days-in-month lookup, 1-indexed (index 0 unused); Feb leap handled
@@ -395,33 +420,39 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     idea (syslinereader.rs:1618-1721, slice_contains.rs SIMD
     prefilters) done with C-speed string slices: each row then runs
     ~1 regex instead of the whole bank."""
+    # every positional probe is computed ONCE and shared across the
+    # pattern masks below (slice(2,3) alone fed 9 masks as separate
+    # Arrow kernel calls before; the dedup cuts the mask pass ~30%)
     c0 = prefix.str.slice(0, 1)
     first3 = prefix.str.slice(0, 3)
+    s23 = prefix.str.slice(2, 3)
+    s34 = prefix.str.slice(3, 4)
+    s45 = prefix.str.slice(4, 5)
+    s56 = prefix.str.slice(5, 6)
+    s89 = prefix.str.slice(8, 9)
+    s10_11 = prefix.str.slice(10, 11)
+    digit4 = prefix.str.slice(0, 4).str.isdigit().fillna(False)
+    digit8 = prefix.str.slice(0, 8).str.isdigit().fillna(False)
     digit0 = c0.str.isdigit().fillna(False)
-    iso = (
-        prefix.str.slice(0, 4).str.isdigit().fillna(False)
-        & (prefix.str.slice(4, 5) == "-")
-    )
+    iso = digit4 & (s45 == "-")
     bracket = c0 == "["
     from ..patterns import MONTHS as _M, TZ_OFFSET_MIN as _T  # noqa: F401
 
     dows = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
     mons_ci = {m.lower() for m in MONTHS} | {m.upper() for m in MONTHS}
     first2_digit = prefix.str.slice(0, 2).str.isdigit().fillna(False)
-    dow_sp = first3.isin(dows) & (prefix.str.slice(3, 4) == " ")
-    mon_sp = first3.isin(MONTHS) & (prefix.str.slice(3, 4) == " ")
+    sp3 = s34 == " "
+    dow_sp = first3.isin(dows) & sp3
+    mon_sp = first3.isin(MONTHS) & sp3
     # ---- second-level discriminators: with 37 bank entries a shared
     # coarse mask (8 patterns share `iso`) costs ~8 extracts per row;
     # these positional checks keep candidates a strict SUPERSET of
     # true matches (false positives only cost one extract; a false
     # negative would misroute a row to continuation, so every check
     # below covers the pattern's full legal width range).
-    iso_t = iso & prefix.str.slice(10, 11).isin(["T", " "])
-    iso_dash = iso & (prefix.str.slice(10, 11) == "-")
-    slash4 = (
-        prefix.str.slice(0, 4).str.isdigit().fillna(False)
-        & (prefix.str.slice(4, 5) == "/")
-    )
+    iso_t = iso & s10_11.isin(["T", " "])
+    iso_dash = iso & (s10_11 == "-")
+    slash4 = digit4 & (s45 == "/")
     # tz sign / Zulu live within chars 19..35 for any 0-9-digit frac
     # (worst case: '.123456789 -0800' puts the sign's digits at 31-32)
     after = prefix.str.slice(19, 36)
@@ -433,55 +464,56 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     comma6 = prefix.str.slice(6, 7) == ","   # Mon dd, yyyy (JUL)
     # strace dot sits at 9-11 depending on the 9-11-digit second width
     dot9_11 = prefix.str.slice(9, 12).str.contains(".", regex=False, na=False)
+    f2_dash = first2_digit & (s23 == "-")
+    f2_slash = first2_digit & (s23 == "/")
+    f2_space = first2_digit & (s23 == " ")
+    br_dash5 = bracket & (s56 == "-")
     return {
         0: iso_t & has_signed_tz,
         1: iso_t,  # catch-all of the ISO cluster (lookaheads reject)
         2: first3.isin(dows) & (prefix.str.slice(3, 5) == ", "),
         3: mon_sp & colon9,
-        4: bracket & (prefix.str.slice(3, 4) == "/"),
-        5: first2_digit & (prefix.str.slice(2, 3) == "-"),
+        4: bracket & (s34 == "/"),
+        5: f2_dash,
         6: prefix.str.startswith("type=", na=False),
         7: digit0 & ~iso & dot9_11,
         8: bracket,
         9: iso_t & comma19,
         10: slash4,
-        11: first2_digit & (prefix.str.slice(2, 3) == "/"),
-        12: prefix.str.slice(0, 8).str.isdigit().fillna(False),
+        11: f2_slash,
+        12: digit8,
         13: iso_t & has_signed_tz,
         14: digit0 & ~iso,
         15: prefix.str.slice(0, 13).str.isdigit().fillna(False),
         16: dow_sp,
-        17: first3.isin(mons_ci) & (prefix.str.slice(3, 4) == " "),
-        18: first2_digit & (prefix.str.slice(2, 3) == "/"),
-        19: first2_digit & (prefix.str.slice(2, 3) == "."),
+        17: first3.isin(mons_ci) & sp3,
+        18: f2_slash,
+        19: first2_digit & (s23 == "."),
         20: iso_t,
         21: c0 == "<",
         22: mon_sp & ~colon9,
-        23: first2_digit & (prefix.str.slice(2, 3) == "-"),
+        23: f2_dash,
         24: bracket & prefix.str.slice(1, 4).isin(dows),
         25: iso_t & ampm20,
         26: prefix.str.slice(0, 16).str.isdigit().fillna(False),
         27: dow_sp,
-        28: bracket & (prefix.str.slice(5, 6) == "-"),
+        28: br_dash5,
         29: iso_t & has_z,
         30: bracket & prefix.str.slice(1, 10).str.isdigit().fillna(False),
         31: c0 == "#",
-        32: first2_digit & (prefix.str.slice(2, 3) == " "),
+        32: f2_space,
         33: first3.isin(MONTHS) & comma6,
-        34: bracket & (prefix.str.slice(5, 6) == "-"),
+        34: br_dash5,
         35: iso_dash,
-        36: (
-            prefix.str.slice(0, 8).str.isdigit().fillna(False)
-            & (prefix.str.slice(8, 9) == " ")
-        ),
+        36: digit8 & (s89 == " "),
         37: dow_sp,
-        38: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        38: f2_slash,
         39: iso_t & has_signed_tz,
         40: bracket,
         41: iso_t,
-        42: first2_digit & (prefix.str.slice(2, 3) == " "),
+        42: f2_space,
         43: iso_t & comma19,
-        44: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        44: f2_slash,
         45: slash4 & has_signed_tz,
         46: slash4,
         47: prefix.str.contains(" [", regex=False, na=False),
@@ -489,12 +521,9 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         49: iso_t,
         50: prefix.str.contains("\t<", regex=False, na=False),
         51: prefix.str.contains(" {", regex=False, na=False),
-        52: (
-            prefix.str.slice(0, 8).str.isdigit().fillna(False)
-            & (prefix.str.slice(8, 9) == ":")
-        ),
-        53: iso & (prefix.str.slice(10, 11) == "+"),
-        54: first2_digit & (prefix.str.slice(2, 3) == "/"),
+        52: digit8 & (s89 == ":"),
+        53: iso & (s10_11 == "+"),
+        54: f2_slash,
         55: c0 == "(",
         56: c0 == "*",
         57: first2_digit
@@ -565,7 +594,6 @@ def parse_series(
     # per batch measured ~9% of the parse (337 __setitem__ calls on a
     # 200k-row batch); numpy fancy assignment replaces them
     n = len(texts)
-    pos = pd.Series(np.arange(n, dtype="int64"), index=idx)
     ts_arr = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
     pid_arr = np.full(n, -1, dtype="int32")
     sink_arr = np.full(n, CONTINUATION_SINK, dtype=object)
@@ -584,16 +612,30 @@ def parse_series(
     # on the WIDE region so a datetime past MAX_SCAN (mid-line, scan
     # tier) still qualifies; tier-1 masks are positional within the
     # narrow prefix and reject those rows cheaply.
-    remaining = wide.str.contains(r"\d\d", regex=True, na=False)
-    masks = _dispatch_masks(prefix)
+    #
+    # Dispatch state is POSITIONAL numpy from here on (round 6): the
+    # per-pattern `series[mask]` Arrow-take + label-aligned `.loc`
+    # writes were ~15% of the kernel; one batch-wide `.tolist()` plus
+    # plain int positions replaces them (bit-identical output, pinned
+    # by the DTPD audit + the saved-corpus regression check).
+    remaining = wide.str.contains(r"\d\d", regex=True, na=False).to_numpy(
+        dtype=bool, na_value=False
+    )
+    masks = {
+        pid: m.to_numpy(dtype=bool, na_value=False)
+        for pid, m in _dispatch_masks(prefix).items()
+    }
+    prefix_list = prefix.tolist()
 
-    def try_pattern(p, cand: pd.Series) -> None:
+    def try_pattern(p, cand: np.ndarray) -> None:
         if not cand.any():
             return
-        res = _extract_matches(prefix[cand], p)
+        res = _extract_matches(
+            prefix_list, np.flatnonzero(cand).tolist(), idx, p
+        )
         if res is None:
             return
-        g, pre_len, dt_len = res
+        g, pre_len, dt_len, hit_pos = res
         ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
         if up is None:
             valid = ts.notna()
@@ -602,28 +644,28 @@ def parse_series(
                 g = g[valid]     # row falls through to later patterns
                 ts = ts[valid]
                 dt_len = dt_len[vm]
+                hit_pos = hit_pos[vm]
                 if pre_len is not None:
                     pre_len = pre_len[vm]
                 if g.empty:
                     return
-        midx = g.index
-        ppos = pos[midx].to_numpy()
-        ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
-        pid_arr[ppos] = p.pid
-        sink_arr[ppos] = p.name
+        ts_arr[hit_pos] = ts.to_numpy(dtype="datetime64[ns]")
+        pid_arr[hit_pos] = p.pid
+        sink_arr[hit_pos] = p.name
         beg = pre_len if p.dt_beg is None else p.dt_beg
-        beg_arr[ppos] = beg
-        end_arr[ppos] = beg + dt_len
+        beg_arr[hit_pos] = beg
+        end_arr[hit_pos] = beg + dt_len
         if up is not None:
-            up_arr[ppos] = up.to_numpy(dtype="int64")
-            up_mask[ppos] = True
-        remaining.loc[midx] = False
+            up_arr[hit_pos] = up.to_numpy(dtype="int64")
+            up_mask[hit_pos] = True
+        remaining[hit_pos] = False
 
     if winner_pids is not None:
+        wnp = winner_pids.to_numpy(dtype="float64", na_value=np.nan)
         for w in pd.unique(winner_pids.dropna()):
             p = PATTERN_BY_ID.get(int(w))
             if p is not None and not p.scan:
-                try_pattern(p, remaining & (winner_pids == w) & masks[p.pid])
+                try_pattern(p, remaining & (wnp == w) & masks[p.pid])
     for p in ANCHORED_PATTERNS:
         if not remaining.any():
             break
@@ -633,17 +675,26 @@ def parse_series(
     # It inspects a wider region (SCAN_MAX) than the anchored tier,
     # mirroring the reference's per-entry range_regex widths.
     if remaining.any():
-        scan_prefix = wide[remaining]
+        rem_pos = np.flatnonzero(remaining)
+        scan_prefix = wide.iloc[rem_pos]
+        scan_idx = idx[rem_pos]
         smasks = _scan_masks(scan_prefix)
+        scan_list = scan_prefix.tolist()
+        sub_remaining = np.ones(len(rem_pos), dtype=bool)
 
         def try_scan(p, cand_sub: pd.Series) -> None:
-            sub = cand_sub & remaining[cand_sub.index]
+            sub = (
+                cand_sub.to_numpy(dtype=bool, na_value=False)
+                & sub_remaining
+            )
             if not sub.any():
                 return
-            res = _extract_matches(scan_prefix[sub], p)
+            res = _extract_matches(
+                scan_list, np.flatnonzero(sub).tolist(), scan_idx, p
+            )
             if res is None:
                 return
-            g, pre_len, dt_len = res
+            g, pre_len, dt_len, hit_sub = res
             ts, up = _canonicalize(p, g, anchor_year, tz_offset_min)
             valid = ts.notna() if up is None else pd.Series(
                 True, index=g.index
@@ -652,18 +703,18 @@ def parse_series(
             g, ts = g[valid], ts[valid]
             if g.empty:
                 return
-            midx = g.index
-            ppos = pos[midx].to_numpy()
+            hit_sub = hit_sub[vm]
+            ppos = rem_pos[hit_sub]
             ts_arr[ppos] = ts.to_numpy(dtype="datetime64[ns]")
             pid_arr[ppos] = p.pid
             sink_arr[ppos] = p.name
             beg = pre_len[vm]
             beg_arr[ppos] = beg
             end_arr[ppos] = beg + dt_len[vm]
-            remaining.loc[midx] = False
+            sub_remaining[hit_sub] = False
 
         for p in SCAN_PATTERNS:
-            if not remaining.any():
+            if not sub_remaining.any():
                 break
             try_scan(p, smasks[p.pid])
     no_match = pid_arr < 0

@@ -19,11 +19,19 @@ PARSE_COLS = ["ts_parsed", "pattern_id", "sink", "dt_beg", "dt_end", "uptime_us"
 def learn_winners(
     df: DataFrame,
     anchor_year: int = ANCHOR_YEAR_DEFAULT,
-    sample_turns: int = 32,
+    sample_turns: int = 8,
 ) -> DataFrame:
     """Per-conv dominant pattern from a bounded head sample — s4's
     blockzero analysis that freezes one DTPD per file
     (src/readers/syslinereader.rs:920, syslogprocessor.rs blockzero).
+
+    sample_turns=8 (was 32, round 6): the winner table only steers
+    ATTEMPT ORDER — bank entries are pairwise disjoint, so frozen
+    output is identical for ANY winner table (test-pinned) — and 8
+    head turns already pick each conv's dominant pattern; the smaller
+    sample cuts the learning job (the serial broadcast-build prefix of
+    every frozen run) ~4× on the parse side (guide §1.2: don't compute
+    things you throw away).
 
     Samples turn_idx < sample_turns (the 'block zero'), parses with
     the full bank, and keeps each conv's most-frequent pattern id

@@ -44,11 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 128k-row Arrow batches: the parse UDF's per-batch fixed cost
-        # (mask pass, 29 extract calls, frame construction) amortizes
-        # over 6× more rows than the 20k default — measured parse_merge
-        # 22.3s → 9.9s at 5M turns (BENCH/BASELINE.md)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # 256k-row Arrow batches (was 128k, round 6): the parse UDF's
+        # per-batch sub-linear cost (mask pass, 58 masked extract
+        # calls, frame construction) amortizes best when a whole task
+        # partition is ONE batch — at 5M turns / 32 tasks each task
+        # holds 156k rows, which the 128k cap split into a 131k + a
+        # 25k batch (measured 0.93 s + 0.24 s vs 1.00 s unsplit =
+        # −14% UDF compute; kernel µs/row keeps falling through 200k).
+        # Memory per batch stays tiny for this corpus (~60 B/row text)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.driver.memory", os.environ.get("S4SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -70,6 +74,6 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
