@@ -415,14 +415,22 @@ def _canonicalize(
     return ts, None
 
 
-def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
+def _dispatch_masks(prefix: pd.Series) -> dict[int, "np.ndarray"]:
     """Cheap vectorized candidate masks per pattern — the EZCHECK
     idea (syslinereader.rs:1618-1721, slice_contains.rs SIMD
     prefilters) done with C-speed string slices: each row then runs
     ~1 regex instead of the whole bank."""
     # every positional probe is computed ONCE and shared across the
     # pattern masks below (slice(2,3) alone fed 9 masks as separate
-    # Arrow kernel calls before; the dedup cuts the mask pass ~30%)
+    # Arrow kernel calls before; the dedup cuts the mask pass ~30%).
+    # Each boolean probe is converted to a plain numpy array right
+    # away (NA → False): the pattern masks then combine with numpy
+    # ops instead of pandas masked/Arrow logical kernels — faster,
+    # and immune to the masked-&-Arrow NA ambiguity a null text row
+    # used to trip (tests/test_parse_positional.py)
+    def b(x) -> np.ndarray:
+        return x.to_numpy(dtype=bool, na_value=False)
+
     c0 = prefix.str.slice(0, 1)
     first3 = prefix.str.slice(0, 3)
     s23 = prefix.str.slice(2, 3)
@@ -431,51 +439,53 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
     s56 = prefix.str.slice(5, 6)
     s89 = prefix.str.slice(8, 9)
     s10_11 = prefix.str.slice(10, 11)
-    digit4 = prefix.str.slice(0, 4).str.isdigit().fillna(False)
-    digit8 = prefix.str.slice(0, 8).str.isdigit().fillna(False)
-    digit0 = c0.str.isdigit().fillna(False)
-    iso = digit4 & (s45 == "-")
-    bracket = c0 == "["
+    digit4 = b(prefix.str.slice(0, 4).str.isdigit())
+    digit8 = b(prefix.str.slice(0, 8).str.isdigit())
+    digit0 = b(c0.str.isdigit())
+    iso = digit4 & b(s45 == "-")
+    bracket = b(c0 == "[")
     from ..patterns import MONTHS as _M, TZ_OFFSET_MIN as _T  # noqa: F401
 
     dows = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
     mons_ci = {m.lower() for m in MONTHS} | {m.upper() for m in MONTHS}
-    first2_digit = prefix.str.slice(0, 2).str.isdigit().fillna(False)
-    sp3 = s34 == " "
-    dow_sp = first3.isin(dows) & sp3
-    mon_sp = first3.isin(MONTHS) & sp3
+    first2_digit = b(prefix.str.slice(0, 2).str.isdigit())
+    sp3 = b(s34 == " ")
+    dow_sp = b(first3.isin(dows)) & sp3
+    mon_sp = b(first3.isin(MONTHS)) & sp3
     # ---- second-level discriminators: with 37 bank entries a shared
     # coarse mask (8 patterns share `iso`) costs ~8 extracts per row;
     # these positional checks keep candidates a strict SUPERSET of
     # true matches (false positives only cost one extract; a false
     # negative would misroute a row to continuation, so every check
     # below covers the pattern's full legal width range).
-    iso_t = iso & s10_11.isin(["T", " "])
-    iso_dash = iso & (s10_11 == "-")
-    slash4 = digit4 & (s45 == "/")
+    iso_t = iso & b(s10_11.isin(["T", " "]))
+    iso_dash = iso & b(s10_11 == "-")
+    slash4 = digit4 & b(s45 == "/")
     # tz sign / Zulu live within chars 19..35 for any 0-9-digit frac
     # (worst case: '.123456789 -0800' puts the sign's digits at 31-32)
     after = prefix.str.slice(19, 36)
-    has_signed_tz = after.str.contains(r"[+-]\d\d", regex=True, na=False)
-    has_z = after.str.contains("Z", regex=False, na=False)
-    comma19 = prefix.str.slice(19, 20) == ","
-    ampm20 = prefix.str.slice(20, 22).isin(["AM", "PM"])
-    colon9 = prefix.str.slice(9, 10) == ":"  # Mon [d]d hh:  time colon
-    comma6 = prefix.str.slice(6, 7) == ","   # Mon dd, yyyy (JUL)
+    has_signed_tz = b(after.str.contains(r"[+-]\d\d", regex=True, na=False))
+    has_z = b(after.str.contains("Z", regex=False, na=False))
+    comma19 = b(prefix.str.slice(19, 20) == ",")
+    ampm20 = b(prefix.str.slice(20, 22).isin(["AM", "PM"]))
+    colon9 = b(prefix.str.slice(9, 10) == ":")  # Mon [d]d hh: time colon
+    comma6 = b(prefix.str.slice(6, 7) == ",")   # Mon dd, yyyy (JUL)
     # strace dot sits at 9-11 depending on the 9-11-digit second width
-    dot9_11 = prefix.str.slice(9, 12).str.contains(".", regex=False, na=False)
-    f2_dash = first2_digit & (s23 == "-")
-    f2_slash = first2_digit & (s23 == "/")
-    f2_space = first2_digit & (s23 == " ")
-    br_dash5 = bracket & (s56 == "-")
+    dot9_11 = b(
+        prefix.str.slice(9, 12).str.contains(".", regex=False, na=False)
+    )
+    f2_dash = first2_digit & b(s23 == "-")
+    f2_slash = first2_digit & b(s23 == "/")
+    f2_space = first2_digit & b(s23 == " ")
+    br_dash5 = bracket & b(s56 == "-")
     return {
         0: iso_t & has_signed_tz,
         1: iso_t,  # catch-all of the ISO cluster (lookaheads reject)
-        2: first3.isin(dows) & (prefix.str.slice(3, 5) == ", "),
+        2: b(first3.isin(dows)) & b(prefix.str.slice(3, 5) == ", "),
         3: mon_sp & colon9,
-        4: bracket & (s34 == "/"),
+        4: bracket & b(s34 == "/"),
         5: f2_dash,
-        6: prefix.str.startswith("type=", na=False),
+        6: b(prefix.str.startswith("type=", na=False)),
         7: digit0 & ~iso & dot9_11,
         8: bracket,
         9: iso_t & comma19,
@@ -484,28 +494,28 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         12: digit8,
         13: iso_t & has_signed_tz,
         14: digit0 & ~iso,
-        15: prefix.str.slice(0, 13).str.isdigit().fillna(False),
+        15: b(prefix.str.slice(0, 13).str.isdigit()),
         16: dow_sp,
-        17: first3.isin(mons_ci) & sp3,
+        17: b(first3.isin(mons_ci)) & sp3,
         18: f2_slash,
-        19: first2_digit & (s23 == "."),
+        19: first2_digit & b(s23 == "."),
         20: iso_t,
-        21: c0 == "<",
+        21: b(c0 == "<"),
         22: mon_sp & ~colon9,
         23: f2_dash,
-        24: bracket & prefix.str.slice(1, 4).isin(dows),
+        24: bracket & b(prefix.str.slice(1, 4).isin(dows)),
         25: iso_t & ampm20,
-        26: prefix.str.slice(0, 16).str.isdigit().fillna(False),
+        26: b(prefix.str.slice(0, 16).str.isdigit()),
         27: dow_sp,
         28: br_dash5,
         29: iso_t & has_z,
-        30: bracket & prefix.str.slice(1, 10).str.isdigit().fillna(False),
-        31: c0 == "#",
+        30: bracket & b(prefix.str.slice(1, 10).str.isdigit()),
+        31: b(c0 == "#"),
         32: f2_space,
-        33: first3.isin(MONTHS) & comma6,
+        33: b(first3.isin(MONTHS)) & comma6,
         34: br_dash5,
         35: iso_dash,
-        36: digit8 & (s89 == " "),
+        36: digit8 & b(s89 == " "),
         37: dow_sp,
         38: f2_slash,
         39: iso_t & has_signed_tz,
@@ -516,18 +526,18 @@ def _dispatch_masks(prefix: pd.Series) -> dict[int, pd.Series]:
         44: f2_slash,
         45: slash4 & has_signed_tz,
         46: slash4,
-        47: prefix.str.contains(" [", regex=False, na=False),
+        47: b(prefix.str.contains(" [", regex=False, na=False)),
         48: slash4,
         49: iso_t,
-        50: prefix.str.contains("\t<", regex=False, na=False),
-        51: prefix.str.contains(" {", regex=False, na=False),
-        52: digit8 & (s89 == ":"),
-        53: iso & (s10_11 == "+"),
+        50: b(prefix.str.contains("\t<", regex=False, na=False)),
+        51: b(prefix.str.contains(" {", regex=False, na=False)),
+        52: digit8 & b(s89 == ":"),
+        53: iso & b(s10_11 == "+"),
         54: f2_slash,
-        55: c0 == "(",
-        56: c0 == "*",
+        55: b(c0 == "("),
+        56: b(c0 == "*"),
         57: first2_digit
-        & prefix.str.slice(2, 5).isin([m.upper() for m in MONTHS]),
+        & b(prefix.str.slice(2, 5).isin([m.upper() for m in MONTHS])),
     }
 
 
@@ -621,10 +631,7 @@ def parse_series(
     remaining = wide.str.contains(r"\d\d", regex=True, na=False).to_numpy(
         dtype=bool, na_value=False
     )
-    masks = {
-        pid: m.to_numpy(dtype=bool, na_value=False)
-        for pid, m in _dispatch_masks(prefix).items()
-    }
+    masks = _dispatch_masks(prefix)  # plain numpy bool arrays
     prefix_list = prefix.tolist()
 
     def try_pattern(p, cand: np.ndarray) -> None:
